@@ -1,0 +1,172 @@
+"""Benchmark: relation-view TransE training throughput (triples/s/chip).
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": "triples/s/chip", "vs_baseline": N}
+
+The workload is the reference's hot loop (MultiKE_model.py:291-317: batch of
+5000 positives + 10 negatives each, TransE logistic loss, Adagrad) on a
+DWY100K-shaped synthetic KG pair (100K entities, 600K triples total). Our
+number is the whole-epoch jitted scan on the TPU chip; ``vs_baseline`` is the
+speedup over a faithful torch-CPU implementation of the same math run on this
+host — the reference is a CPU/feed-dict TF1 trainer, so a same-host CPU
+autograd+Adagrad loop is the closest measurable stand-in (the reference repo
+publishes no numbers, BASELINE.md).
+
+All progress chatter goes to stderr; stdout carries only the JSON line.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_triples(rng, n_triples, ent_lo, ent_hi, n_rel, rel_lo):
+    h = rng.randint(ent_lo, ent_hi, size=n_triples)
+    t = rng.randint(ent_lo, ent_hi, size=n_triples)
+    r = rng.randint(rel_lo, rel_lo + n_rel, size=n_triples)
+    return np.stack([h, r, t], axis=1).astype(np.int32)
+
+
+def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1):
+    import jax
+    import jax.numpy as jnp
+
+    from multike_tpu.params import init_params
+    from multike_tpu.sampling import empty_neighbor_state
+    from multike_tpu.train import streams
+
+    entities_num = ranges[1][1]
+    relations_num = int(max(triples1[:, 1].max(), triples2[:, 1].max())) + 1
+    params = init_params(cfg, entities_num, relations_num, 2)
+    opt_states = streams.init_stream_opt_states(cfg, params)
+    key = jax.random.PRNGKey(0)
+    t1 = jnp.asarray(triples1)
+    t2 = jnp.asarray(triples2)
+    nbr = empty_neighbor_state(entities_num)
+    epoch_fn, steps, trained = streams.build_rel_view_epoch(
+        cfg, len(triples1), len(triples2), ranges)
+
+    opt = opt_states["rel_view"]
+    for _ in range(warmup):
+        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2, nbr)
+    jax.block_until_ready(loss)
+    log(f"jax warmup done, steps/epoch={steps}, loss={float(loss):.1f}")
+
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2, nbr)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    tps = trained * epochs / dt
+    log(f"jax: {epochs} epochs in {dt:.3f}s -> {tps:,.0f} triples/s")
+    return tps
+
+
+def bench_torch_cpu(cfg, triples1, triples2, ranges, steps):
+    """Reference-math stand-in: TF1-style feed loop — host negative sampling,
+    gather + TransE logistic loss + Adagrad(acc0=0.1) via torch CPU."""
+    import torch
+
+    torch.set_num_threads(max(1, len(__import__("os").sched_getaffinity(0))))
+    entities_num = ranges[1][1]
+    relations_num = int(max(triples1[:, 1].max(), triples2[:, 1].max())) + 1
+    dim = cfg.dim
+    g = torch.Generator().manual_seed(0)
+    rv = torch.nn.Parameter(torch.randn(entities_num, dim, generator=g) * 0.01)
+    rel = torch.nn.Parameter(torch.randn(relations_num, dim, generator=g) * 0.01)
+    opt = torch.optim.Adagrad([rv, rel], lr=cfg.learning_rate,
+                              initial_accumulator_value=0.1)
+    rng = np.random.RandomState(0)
+    bs = cfg.batch_size
+    bs1 = int(len(triples1) / (len(triples1) + len(triples2)) * bs)
+    bs2 = bs - bs1
+    k = cfg.neg_triple_num
+    (lo1, hi1), (lo2, hi2) = ranges
+
+    def norm_rows(x):
+        return torch.nn.functional.normalize(x, dim=1)
+
+    t0 = time.perf_counter()
+    done = 0
+    for i in range(steps):
+        i1 = rng.randint(0, len(triples1), bs1)
+        i2 = rng.randint(0, len(triples2), bs2)
+        pos = np.concatenate([triples1[i1], triples2[i2]])
+        neg = np.repeat(pos, k, axis=0)
+        corrupt = rng.rand(len(neg)) < 0.5
+        lo = np.concatenate([np.full(bs1 * k, lo1), np.full(bs2 * k, lo2)])
+        hi = np.concatenate([np.full(bs1 * k, hi1), np.full(bs2 * k, hi2)])
+        cand = lo + rng.randint(0, 1 << 30, len(neg)) % (hi - lo)
+        neg[corrupt, 0] = cand[corrupt]
+        neg[~corrupt, 2] = cand[~corrupt]
+        pos_t = torch.from_numpy(pos.astype(np.int64))
+        neg_t = torch.from_numpy(neg.astype(np.int64))
+
+        opt.zero_grad()
+        ph = norm_rows(rv[pos_t[:, 0]])
+        pr = norm_rows(rel[pos_t[:, 1]])
+        pt = norm_rows(rv[pos_t[:, 2]])
+        nh = norm_rows(rv[neg_t[:, 0]])
+        nr = norm_rows(rel[neg_t[:, 1]])
+        nt = norm_rows(rv[neg_t[:, 2]])
+        pos_score = -((ph + pr - pt) ** 2).sum(1)
+        neg_score = -((nh + nr - nt) ** 2).sum(1)
+        loss = torch.nn.functional.softplus(-pos_score).sum() + \
+            torch.nn.functional.softplus(neg_score).sum()
+        loss.backward()
+        opt.step()
+        done += len(pos)
+    dt = time.perf_counter() - t0
+    tps = done / dt
+    log(f"torch-cpu baseline: {steps} steps in {dt:.3f}s -> {tps:,.0f} triples/s")
+    return tps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes for CI/smoke")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--baseline-steps", type=int, default=None)
+    ns = ap.parse_args()
+
+    from multike_tpu.config import Config
+
+    if ns.quick:
+        n_ent, n_tri, n_rel = 2_000, 10_000, 50
+        epochs = ns.epochs or 3
+        base_steps = ns.baseline_steps or 5
+        cfg = Config(dim=75, batch_size=1000, neg_triple_num=10)
+    else:
+        n_ent, n_tri, n_rel = 50_000, 300_000, 500
+        epochs = ns.epochs or 5
+        base_steps = ns.baseline_steps or 20
+        cfg = Config(dim=75, batch_size=5000, neg_triple_num=10)
+
+    rng = np.random.RandomState(7)
+    triples1 = synthetic_triples(rng, n_tri, 0, n_ent, n_rel, 0)
+    triples2 = synthetic_triples(rng, n_tri, n_ent, 2 * n_ent, n_rel, n_rel)
+    ranges = ((0, n_ent), (n_ent, 2 * n_ent))
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    tps = bench_jax(cfg, triples1, triples2, ranges, epochs)
+    base = bench_torch_cpu(cfg, triples1, triples2, ranges, base_steps)
+
+    print(json.dumps({
+        "metric": "relation_view_transe_training_throughput",
+        "value": round(tps, 1),
+        "unit": "triples/s/chip",
+        "vs_baseline": round(tps / base, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""CLI entry: ``python -m multike_tpu.cli -m {ITC,SSL} -d <data-folder>``.
+
+Parity with run.sh:26-34 + run_ITC.py/run_SSL.py: loads the JSON config
+(default ``args.json`` next to this package or given via ``--args``),
+overrides ``training_data`` from the CLI, builds DataModel +
+PredicateAlignModel + the mode's trainer and runs it.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from multike_tpu.config import Config, load_config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="MultiKE-TPU")
+    ap.add_argument("-m", "--mode", choices=["ITC", "SSL"], required=True)
+    ap.add_argument("-d", "--training_data", type=str, required=True)
+    ap.add_argument("--args", type=str, default=None,
+                    help="path to a reference-format args.json")
+    ap.add_argument("--max_epoch", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ns = ap.parse_args(argv)
+
+    if ns.args and os.path.exists(ns.args):
+        cfg = load_config(ns.args)
+    else:
+        cfg = Config()
+    overrides = {"training_data": ns.training_data}
+    if not overrides["training_data"].endswith("/"):
+        overrides["training_data"] += "/"
+    if ns.max_epoch is not None:
+        overrides["max_epoch"] = ns.max_epoch
+    if ns.seed is not None:
+        overrides["seed"] = ns.seed
+    cfg = cfg.replace(**overrides)
+
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.data.dataset import DataModel
+
+    data = DataModel(cfg, verbose=True)
+    pam = PredicateAlignModel(data.kgs, cfg)
+
+    if ns.mode == "ITC":
+        from multike_tpu.train.itc import MultiKE_ITC as Model
+    else:
+        from multike_tpu.train.ssl import MultiKE_SSL as Model
+    model = Model(cfg, data, pam)
+    results = model.run()
+    print("final test MRRs:", results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Configuration for MultiKE-TPU.
+
+Mirrors every hyperparameter key of the reference config
+(``/root/reference/code/args.json``, loaded by ``utils.load_args`` at
+``utils.py:10-22``) so a reference ``args.json`` loads unchanged, and adds
+TPU-specific knobs (mesh shape, eval block sizes, dtype policy).
+
+Reference quirks preserved intentionally:
+  * ``encoder_active`` defaults to ``"thah"`` — the reference's typo
+    (``args.json:10``) matches neither 'sigmoid' nor 'tanh' in
+    ``auto_encoder.py:75-78``, so the literal autoencoder is *linear* in
+    practice. We reproduce that default; set ``encoder_active='tanh'`` to get
+    the activation the authors presumably intended.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # --- paths (args.json:2-5) ---
+    training_data: str = ""
+    output: str = "output/results/"
+    word2vec_path: str = ""
+    dataset_division: str = "631/"
+
+    # --- alignment module (args.json:7); only 'swapping' is supported, as in
+    # the reference (MultiKE_model.py:68-69) ---
+    alignment_module: str = "swapping"
+
+    # --- literal encoder (args.json:9-13) ---
+    encoder_epoch: int = 100
+    encoder_active: str = "thah"  # reference typo => linear AE (see module doc)
+    encoder_normalize: bool = True
+    retrain_literal_embeds: bool = True
+    literal_normalize: bool = True
+
+    # --- model (args.json:15) ---
+    dim: int = 75
+
+    # --- optimization (args.json:17-23) ---
+    learning_rate: float = 0.001
+    optimizer: str = "Adagrad"
+    max_epoch: int = 200
+    shared_learning_max_epoch: int = 200
+    batch_size: int = 5000
+    entity_batch_size: int = 5000
+    attribute_batch_size: int = 5000
+
+    # --- negative sampling (args.json:25-28) ---
+    neg_triple_num: int = 10
+    neg_sampling: str = "truncated"
+    truncated_epsilon: float = 0.98
+    truncated_freq: int = 20
+
+    # --- host parallelism knobs of the reference (args.json:30-31); kept for
+    # config compatibility. On TPU, batching/eval are on-device, so these only
+    # affect host-side helpers. ---
+    batch_threads_num: int = 4
+    test_threads_num: int = 8
+
+    # --- evaluation cadence (args.json:33-37) ---
+    start_valid: int = 100
+    eval_freq: int = 10
+    stop_metric: str = "mrr"
+    top_k: List[int] = dataclasses.field(default_factory=lambda: [1, 5, 10, 50])
+    is_save: bool = True
+
+    # --- combination losses (args.json:38-40) ---
+    orthogonal_weight: float = 2.0
+    cv_name_weight: float = 1.0
+    cv_weight: float = 1.0
+
+    # --- predicate alignment (args.json:42-44) ---
+    start_predicate_soft_alignment: int = 10
+    predicate_soft_sim: float = 0.85
+    predicate_init_sim: float = 0.90
+
+    # --- extra learning rates (args.json:45-46) ---
+    relation_learning_rate: float = 0.005
+    ITC_learning_rate: float = 0.004
+
+    # ------------------------------------------------------------------
+    # TPU-native knobs (new in this framework)
+    # ------------------------------------------------------------------
+    # Mesh axes: data-parallel x table(model)-parallel. Product must divide
+    # (or equal) the number of participating devices.
+    mesh_dp: int = 1
+    mesh_tp: int = 1
+    # Evaluation engine: row/column block sizes of the blockwise rank-count
+    # kernel (never materializes n1 x n2).
+    eval_row_block: int = 1024
+    eval_col_block: int = 4096
+    # Similarity matmul dtype for eval / neighbor refresh ('float32'|'bfloat16')
+    eval_matmul_dtype: str = "float32"
+    # Checkpointing
+    checkpoint_dir: str = ""
+    checkpoint_freq: int = 0  # epochs; 0 = only final save
+    # RNG
+    seed: int = 2019
+    # How many steps of one loss stream are fused into a single jitted
+    # lax.scan on device (0 = whole epoch).
+    steps_per_scan: int = 0
+    # Pallas kernels on/off (False falls back to pure-XLA paths; useful on CPU)
+    use_pallas: bool = True
+    # word2vec token length for literal encoding (literal_encoder.py:161)
+    tokens_max_len: int = 5
+    word2vec_dim: int = 300
+
+    @property
+    def hidden_dims(self) -> List[int]:
+        # auto_encoder.py:26 — AE stack 1500 -> 1024 -> 512 -> dim
+        return [1024, 512, self.dim]
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def load_config(file_path: str, **overrides) -> Config:
+    """Load a reference-format JSON config (utils.py:10-16 equivalent).
+
+    Unknown keys are ignored with a warning so future reference configs load.
+    """
+    with open(file_path, "r") as f:
+        raw = json.load(f)
+    known = {f.name for f in dataclasses.fields(Config)}
+    unknown = [k for k in raw if k not in known]
+    if unknown:
+        print("load_config: ignoring unknown keys:", unknown)
+    kwargs = {k: v for k, v in raw.items() if k in known}
+    kwargs.update(overrides)
+    return Config(**kwargs)

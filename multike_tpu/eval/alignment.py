@@ -1,0 +1,246 @@
+"""Greedy alignment evaluation: Hits@k / MR / MRR without materializing the
+n1 x n2 similarity matrix.
+
+The reference builds the dense matrix, argsorts every row across an mp.Pool
+and finds the gold's position (base/alignment.py:8-79, 141-163). The TPU
+engine instead computes, blockwise on device, for each left entity i (whose
+gold is column i):
+
+    rank_index(i) = #{ j : s_ij > s_ii }          (exact, no sort)
+    best(i)       = argmax_j s_ij                 (the greedy alignment pair)
+
+Hits@k = rank_index < k, MR = mean(rank_index+1), MRR = mean(1/(rank_index+1))
+— identical to the reference's accurate mode up to float-tie ordering. In the
+reference's quick mode (valid), MR/MRR come from an ``argpartition`` order and
+are only approximate; here they are always exact.
+
+CSLS (csls_k > 0) reuses the same engine on adjusted scores
+2*s_ij - r2_j (the row term r1_i is rank-invariant within a row but kept for
+parity in reported scores).
+
+Gale-Shapley stable matching (base/alignment.py:82-219) is kept as a
+host-side auxiliary API.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multike_tpu.eval.similarity import csls_penalties_blockwise
+
+
+@functools.partial(jax.jit, static_argnames=("col_block",))
+def _rank_block(e1_blk: jnp.ndarray, gold: jnp.ndarray, gold_idx: jnp.ndarray,
+                e2: jnp.ndarray, r2: Optional[jnp.ndarray],
+                col_block: int = 4096):
+    """For a block of left embeddings: (count_greater, best_idx, best_val).
+
+    e1_blk: (B, d); gold: (B,) gold scores (already CSLS-adjusted if r2
+    given); gold_idx: (B,) gold column ids — the gold column is excluded from
+    the count so float round-off between the separately computed gold score
+    and the in-matrix value cannot shift the rank; e2: (n2, d); r2: optional
+    (n2,) CSLS column penalty.
+    """
+    B = e1_blk.shape[0]
+    n2 = e2.shape[0]
+    steps = -(-n2 // col_block)
+    pad = steps * col_block - n2
+    e2p = jnp.concatenate([e2, jnp.zeros((pad, e2.shape[1]), e2.dtype)])
+    invalid = jnp.arange(steps * col_block) >= n2
+    if r2 is not None:
+        r2p = jnp.concatenate([r2, jnp.zeros((pad,), r2.dtype)])
+
+    def body(carry, xs):
+        count, best_val, best_idx = carry
+        if r2 is not None:
+            blk, inval, r2b, off = xs
+        else:
+            blk, inval, off = xs
+            r2b = None
+        s = jnp.dot(e1_blk, blk.T, preferred_element_type=jnp.float32)
+        if r2b is not None:
+            s = 2.0 * s - r2b[None, :]
+        s = jnp.where(inval[None, :], -jnp.inf, s)
+        cols = off + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        beats = jnp.logical_and(s > gold[:, None],
+                                cols != gold_idx[:, None])
+        count = count + jnp.sum(beats.astype(jnp.int32), axis=1)
+        blk_best = jnp.max(s, axis=1)
+        blk_arg = jnp.argmax(s, axis=1).astype(jnp.int32) + off
+        take = blk_best > best_val
+        best_val = jnp.where(take, blk_best, best_val)
+        best_idx = jnp.where(take, blk_arg, best_idx)
+        return (count, best_val, best_idx), None
+
+    offsets = col_block * jnp.arange(steps, dtype=jnp.int32)
+    xs = [e2p.reshape(steps, col_block, -1), invalid.reshape(steps, col_block)]
+    if r2 is not None:
+        xs.append(r2p.reshape(steps, col_block))
+    xs.append(offsets)
+    init = (jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), -jnp.inf, jnp.float32),
+            jnp.zeros((B,), jnp.int32))
+    (count, best_val, best_idx), _ = jax.lax.scan(body, init, tuple(xs))
+    return count, best_idx, best_val
+
+
+def _normalize_np(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return np.where(n > 0, x / np.maximum(n, 1e-30), x)
+
+
+def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
+                   row_block: int = 4096, col_block: int = 4096,
+                   matmul_dtype=jnp.float32):
+    """Returns (rank_index (n1,), best_idx (n1,)) as numpy arrays.
+
+    Gold for row i is column i (requires n2 >= n1), matching the reference's
+    evaluation layout (base/alignment.py:148: gold = idx[i])."""
+    e1 = np.asarray(embed1, np.float32)
+    e2 = np.asarray(embed2, np.float32)
+    assert e2.shape[0] >= e1.shape[0], "gold column must exist for every row"
+    if normalize:
+        e1 = _normalize_np(e1)
+        e2 = _normalize_np(e2)
+    d1 = jnp.asarray(e1, matmul_dtype)
+    d2 = jnp.asarray(e2, matmul_dtype)
+    n1 = e1.shape[0]
+
+    r2 = None
+    gold_all = jnp.sum(d1 * d2[:n1], axis=1).astype(jnp.float32)
+    if csls_k > 0:
+        _, r2 = csls_penalties_blockwise(d1.astype(jnp.float32),
+                                         d2.astype(jnp.float32), csls_k,
+                                         col_block=col_block)
+        # adjusted gold: 2*s_ii - r2_i  (r1_i is constant within the row)
+        gold_all = 2.0 * gold_all - r2[:n1]
+
+    ranks = np.zeros((n1,), np.int64)
+    best = np.zeros((n1,), np.int64)
+    for start in range(0, n1, row_block):
+        stop = min(start + row_block, n1)
+        gold_idx = jnp.arange(start, stop, dtype=jnp.int32)
+        cnt, bidx, _ = _rank_block(d1[start:stop], gold_all[start:stop],
+                                   gold_idx, d2, r2, col_block=col_block)
+        ranks[start:stop] = np.asarray(cnt)
+        best[start:stop] = np.asarray(bidx)
+    return ranks, best
+
+
+def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
+                     metric: str = "inner", normalize: bool = False,
+                     csls_k: int = 0, accurate: bool = False,
+                     verbose: bool = True):
+    """API parity with base/alignment.py:8-79.
+
+    ``nums_threads`` is accepted for compatibility; the engine is on-device.
+    Returns (alignment_rest, hits1, mr, mrr)."""
+    t = time.time()
+    assert 1 in top_k
+    if metric == "cosine":
+        normalize = True  # cosine == normalized inner product
+    elif metric != "inner":
+        raise NotImplementedError(
+            f"device eval supports inner/cosine; use eval.similarity.sim for {metric!r}")
+    ranks, best = rank_and_align(embed1, embed2, normalize=normalize,
+                                 csls_k=csls_k)
+    num = len(ranks)
+    mr = float(np.mean(ranks + 1))
+    mrr = float(np.mean(1.0 / (ranks + 1)))
+    hits = [round(float(np.mean(ranks < k)) * 100, 3) for k in top_k]
+    alignment_rest = {(i, int(best[i])) for i in range(num)}
+    cost = time.time() - t
+    if verbose:
+        mode = "accurate" if accurate else "quick"
+        if csls_k > 0:
+            print(f"{mode} results with csls: csls={csls_k}, hits@{list(top_k)} = {hits}%, "
+                  f"mr = {mr:.3f}, mrr = {mrr:.6f}, time = {cost:.3f} s")
+        else:
+            print(f"{mode} results: hits@{list(top_k)} = {hits}%, mr = {mr:.3f}, "
+                  f"mrr = {mrr:.6f}, time = {cost:.3f} s")
+    return alignment_rest, hits[0], mr, mrr
+
+
+def calculate_rank(idx: List[int], sim_mat: np.ndarray, top_k: Sequence[int],
+                   accurate: bool, total_num: int):
+    """Host-side rank computation over an explicit sim matrix — API parity
+    with base/alignment.py:141-163 (used by tests as a golden oracle)."""
+    assert 1 in top_k
+    mr, mrr = 0.0, 0.0
+    hits = [0] * len(top_k)
+    hits1_rest = set()
+    for i in range(len(idx)):
+        gold = idx[i]
+        row = sim_mat[i, :]
+        rank = (-row).argsort(kind="stable")
+        hits1_rest.add((gold, int(rank[0])))
+        rank_index = int(np.where(rank == gold)[0][0])
+        mr += rank_index + 1
+        mrr += 1.0 / (rank_index + 1)
+        for j, k in enumerate(top_k):
+            if rank_index < k:
+                hits[j] += 1
+    mr /= total_num
+    mrr /= total_num
+    return mr, mrr, hits, hits1_rest
+
+
+# ---------------------------------------------------------------------------
+# Stable matching (aux API, base/alignment.py:82-219) — host side.
+# ---------------------------------------------------------------------------
+
+def galeshapley(suitor_pref_dict, reviewer_pref_dict, max_iteration: int):
+    """Gale-Shapley stable marriage (base/alignment.py:166-219)."""
+    suitors = list(suitor_pref_dict.keys())
+    matching = {}
+    rev_matching = {}
+    for _ in range(max_iteration):
+        if len(suitors) <= 0:
+            break
+        for s in suitors:
+            r = suitor_pref_dict[s][0]
+            if r not in matching.values():
+                matching[s] = r
+                rev_matching[r] = s
+            else:
+                r_partner = rev_matching.get(r)
+                if reviewer_pref_dict[r].index(s) < reviewer_pref_dict[r].index(r_partner):
+                    del matching[r_partner]
+                    matching[s] = r
+                    rev_matching[r] = s
+                else:
+                    suitor_pref_dict[s].remove(r)
+        suitors = list(set(suitor_pref_dict.keys()) - set(matching.keys()))
+    return matching
+
+
+def stable_alignment(embed1, embed2, metric: str = "inner",
+                     normalize: bool = False, csls_k: int = 0,
+                     nums_threads: int = 1, cut: int = 100, sim_mat=None,
+                     verbose: bool = True) -> float:
+    """Stable-matching precision (base/alignment.py:82-128). Materializes the
+    similarity matrix (as the reference does); auxiliary API only."""
+    from multike_tpu.eval.similarity import sim as sim_fn
+
+    t = time.time()
+    if sim_mat is None:
+        sim_mat = sim_fn(embed1, embed2, metric=metric, normalize=normalize,
+                         csls_k=csls_k)
+    kg1_candidates = {f"x_{i}": [f"y_{j}" for j in (-sim_mat[i]).argsort()]
+                      for i in range(sim_mat.shape[0])}
+    kg2_candidates = {f"y_{j}": [f"x_{i}" for i in (-sim_mat[:, j]).argsort()]
+                      for j in range(sim_mat.shape[1])}
+    matching = galeshapley(kg1_candidates, kg2_candidates, cut)
+    n = sum(1 for i, j in matching.items()
+            if int(i.split("_")[-1]) == int(j.split("_")[-1]))
+    precision = n / max(len(matching), 1) * 100
+    if verbose:
+        print(f"stable alignment precision = {precision:.3f}%, "
+              f"time = {time.time() - t:.3f} s")
+    return precision

@@ -1,0 +1,36 @@
+"""Thin evaluation wrappers (parity with base/evaluation.py:6-33)."""
+from __future__ import annotations
+
+import numpy as np
+
+from multike_tpu.eval.alignment import greedy_alignment
+
+
+def valid(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
+          normalize: bool = False, csls_k: int = 0, accurate: bool = False):
+    if mapping is not None:
+        embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
+    _, hits1_12, mr_12, mrr_12 = greedy_alignment(
+        embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
+        accurate)
+    return hits1_12, mrr_12
+
+
+def test(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
+         normalize: bool = False, csls_k: int = 0, accurate: bool = True):
+    if mapping is not None:
+        embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
+    alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
+        embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
+        accurate)
+    return alignment_rest_12, hits1_12, mrr_12
+
+
+def early_stop(flag1, flag2, flag):
+    """Two-step metric-decline rule (base/evaluation.py:28-33). NB the
+    reference defines but never wires this (MultiKE_Late.py:180-182); our
+    drivers expose it behind ``Config.stop_metric`` the same way."""
+    if flag <= flag2 <= flag1:
+        print("\n == should early stop == \n")
+        return flag2, flag, True
+    return flag2, flag, False

@@ -1,0 +1,110 @@
+"""View-combination evaluation: per-view / averaged / WVA embedding choices.
+
+Parity with the module-level helpers of MultiKE_Late.py:14-173:
+  * ``valid``/``test`` with ``embed_choice`` in {nv, rv, av, final, avg}
+    (lines 14-61); 'avg' is the w-weighted sum of the three views;
+  * WVA (weighted view averaging): a view's weight is the mean diagonal
+    cosine between its embeddings and the mean of all three views, summed
+    over both sides and normalized (lines 64-173). NB the reference's ``wva``
+    returns before its own normalization block (line 88) — the live math is
+    the one reproduced here.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from multike_tpu.eval import evaluation as eva
+
+
+def _choose_embeds(trainer, embed_choice: str, w=(1, 1, 1)) -> np.ndarray:
+    if embed_choice in ("nv", "rv", "av", "final"):
+        return trainer.current_embeds(embed_choice)
+    if embed_choice == "avg":
+        return (w[0] * trainer.current_embeds("nv")
+                + w[1] * trainer.current_embeds("rv")
+                + w[2] * trainer.current_embeds("av"))
+    raise KeyError(embed_choice)
+
+
+def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
+    ent_embeds = _choose_embeds(trainer, embed_choice, w)
+    kgs = trainer.kgs
+    if trainer.verbose:
+        print(embed_choice, "valid results:")
+    embeds1 = ent_embeds[kgs.valid_entities1]
+    embeds2 = ent_embeds[kgs.valid_entities2 + kgs.test_entities2]
+    _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
+                          trainer.cfg.test_threads_num, normalize=True)
+    return mrr_12
+
+
+def test(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
+    ent_embeds = _choose_embeds(trainer, embed_choice, w)
+    kgs = trainer.kgs
+    if trainer.verbose:
+        print(embed_choice, "test results:")
+    embeds1 = ent_embeds[kgs.test_entities1]
+    embeds2 = ent_embeds[kgs.test_entities2]
+    _, _, mrr_12 = eva.test(embeds1, embeds2, None, trainer.cfg.top_k,
+                            trainer.cfg.test_threads_num, normalize=True)
+    return mrr_12
+
+
+# ---------------------------------------------------------------------------
+# WVA
+# ---------------------------------------------------------------------------
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return np.where(n > 0, x / np.maximum(n, 1e-30), x)
+
+
+def _compute_weight(embeds1, embeds2, embeds3) -> float:
+    """Mean diagonal cosine between a view and the mean of all views
+    (MultiKE_Late.py:64-81)."""
+    other = _normalize_rows((embeds1 + embeds2 + embeds3) / 3)
+    e1 = _normalize_rows(embeds1)
+    weights = np.sum(e1 * other, axis=1)  # diag(e1 @ other.T)
+    return float(np.mean(weights))
+
+
+def wva(embeds1, embeds2, embeds3) -> Tuple[float, float, float]:
+    return (_compute_weight(embeds1, embeds2, embeds3),
+            _compute_weight(embeds2, embeds1, embeds3),
+            _compute_weight(embeds3, embeds1, embeds2))
+
+
+def _wva_eval(trainer, ents1, ents2, label: str) -> float:
+    nv = trainer.current_embeds("nv")
+    rv = trainer.current_embeds("rv")
+    av = trainer.current_embeds("av")
+
+    nv1, rv1, av1 = nv[ents1], rv[ents1], av[ents1]
+    w11, w21, w31 = wva(nv1, rv1, av1)
+    nv2, rv2, av2 = nv[ents2], rv[ents2], av[ents2]
+    w12, w22, w32 = wva(nv2, rv2, av2)
+
+    w1, w2, w3 = w11 + w12, w21 + w22, w31 + w32
+    total = w1 + w2 + w3
+    w1, w2, w3 = w1 / total, w2 / total, w3 / total
+    if trainer.verbose:
+        print("weights", w1, w2, w3)
+        print(f"wvag {label} results:")
+    embeds1 = w1 * nv1 + w2 * rv1 + w3 * av1
+    embeds2 = w1 * nv2 + w2 * rv2 + w3 * av2
+    _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
+                          trainer.cfg.test_threads_num, normalize=True)
+    return mrr_12
+
+
+def valid_WVA(trainer) -> float:
+    kgs = trainer.kgs
+    return _wva_eval(trainer, kgs.valid_entities1,
+                     kgs.valid_entities2 + kgs.test_entities2, "valid")
+
+
+def test_WVA(trainer) -> float:
+    kgs = trainer.kgs
+    return _wva_eval(trainer, kgs.test_entities1, kgs.test_entities2, "test")

@@ -1,0 +1,93 @@
+"""Loss functions (parity with losses.py:4-69), in jnp with padding masks.
+
+All losses are *sums* over the batch like the reference; every function takes
+an optional ``mask`` (1.0 real row / 0.0 padded row) so fixed-shape batches
+with tail padding reproduce the reference's variable-size batch sums exactly.
+``log(1 + exp(x))`` is computed as ``softplus(x)`` — identical math, no
+overflow for large scores.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from multike_tpu.params import l2_normalize
+
+
+def _sq_norm(x):
+    return jnp.sum(jnp.square(x), axis=-1)
+
+
+def transe_score(h, r, t):
+    """-||h + r - t||^2 (losses.py:5-8)."""
+    return -_sq_norm(h + r - t)
+
+
+def relation_logistic_loss(phs, prs, pts, nhs, nrs, nts,
+                           pos_mask=None, neg_mask=None):
+    """sum softplus(-pos_score) + sum softplus(neg_score) (losses.py:4-12)."""
+    pos = jax.nn.softplus(-transe_score(phs, prs, pts))
+    neg = jax.nn.softplus(transe_score(nhs, nrs, nts))
+    if pos_mask is not None:
+        pos = pos * pos_mask
+    if neg_mask is not None:
+        neg = neg * neg_mask
+    return jnp.sum(pos) + jnp.sum(neg)
+
+
+def relation_logistic_loss_wo_negs(phs, prs, pts, mask=None):
+    """losses.py:30-34."""
+    pos = jax.nn.softplus(-transe_score(phs, prs, pts))
+    if mask is not None:
+        pos = pos * mask
+    return jnp.sum(pos)
+
+
+def logistic_loss_wo_negs(phs, pas, pvs, pws, mask=None):
+    """Weighted positives-only logistic loss (losses.py:44-50)."""
+    pos = jax.nn.softplus(-transe_score(phs, pas, pvs)) * pws
+    if mask is not None:
+        pos = pos * mask
+    return jnp.sum(pos)
+
+
+def positive_logistic_from_scores(scores, weights=None, mask=None):
+    """sum w * softplus(-score) — used with the conv scorer
+    (MultiKE_model.py:146-148, 183, 215-217)."""
+    pos = jax.nn.softplus(-scores)
+    if weights is not None:
+        pos = pos * weights
+    if mask is not None:
+        pos = pos * mask
+    return jnp.sum(pos)
+
+
+def alignment_loss(ents1, ents2, mask=None):
+    """sum ||e1 - e2||^2 (losses.py:66-69)."""
+    d = _sq_norm(ents1 - ents2)
+    if mask is not None:
+        d = d * mask
+    return jnp.sum(d)
+
+
+def orthogonal_loss(mapping, eye):
+    """sum (M M^T - I)^2 (losses.py:61-63)."""
+    return jnp.sum(jnp.square(mapping @ mapping.T - eye))
+
+
+def space_mapping_loss(view_embeds, shared_embeds, mapping, eye,
+                       orthogonal_weight, norm_w=0.0001, mask=None):
+    """losses.py:53-58. NB: the mapped view embeddings are normalized by the
+    l2 norm of the WHOLE batch tensor (axis-less tf.nn.l2_normalize at
+    losses.py:55)."""
+    mapped = view_embeds @ mapping
+    if mask is not None:
+        mapped = mapped * mask[:, None]  # keep padded rows out of the norm
+    mapped = l2_normalize(mapped, axis=None)
+    d = _sq_norm(shared_embeds - mapped)
+    if mask is not None:
+        d = d * mask
+    map_loss = jnp.sum(d)
+    norm_loss = jnp.sum(jnp.square(mapping))
+    return map_loss + orthogonal_weight * orthogonal_loss(mapping, eye) + \
+        norm_w * norm_loss

@@ -1,0 +1,113 @@
+"""On-device negative sampling.
+
+The reference generates negatives in host producer processes with rejection
+against the full triple set (base/batch.py:57-116: corrupt head or tail with
+p=0.5, <=10 retries, 'truncated' mode restricts candidates to each entity's
+top-2% cosine neighbors). Here sampling runs inside the jitted train step
+with ``jax.random``:
+
+  * corrupt-head-vs-tail is an independent Bernoulli(0.5) per negative;
+  * candidates are uniform over the owning KG's contiguous entity-id range
+    (sequential id assignment guarantees contiguity — kg.py
+    ``entity_id_ranges``), or a row of the truncated-neighbor table when the
+    corrupted entity has one;
+  * true triples are NOT rejected: with |E| entities and average degree d the
+    false-negative probability per sample is ~d/|E| (<0.1% on DWY100K). The
+    reference itself gives up after 10 retries and accepts near-duplicates
+    (base/batch.py:103-105). This delta is documented and testable.
+
+Neighbor state is a pair of dense tables (one per KG) padded over the full
+entity range with a per-entity validity flag, so lookups are a gather.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class NeighborState(NamedTuple):
+    """Truncated-sampling candidates: ``nbr[e, :cnt[e]]`` holds neighbor
+    entity ids, valid only where ``has[e]``. ``cnt`` allows the two KGs'
+    different top-k sizes (K = 2% of each KG's entity count) to share one
+    dense table without sampling bias."""
+    nbr: jnp.ndarray  # (E, Kmax) int32
+    has: jnp.ndarray  # (E,) bool
+    cnt: jnp.ndarray  # (E,) int32 (>= 1)
+
+
+def empty_neighbor_state(entities_num: int, k: int = 1) -> NeighborState:
+    return NeighborState(
+        nbr=jnp.zeros((entities_num, max(k, 1)), jnp.int32),
+        has=jnp.zeros((entities_num,), bool),
+        cnt=jnp.ones((entities_num,), jnp.int32),
+    )
+
+
+def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                     neg_num: int,
+                     neighbors: Optional[NeighborState] = None) -> jnp.ndarray:
+    """pos: (B, 3) int32 [h, r, t]; lo/hi: (B,) per-row entity-id range of the
+    owning KG (half-open). Returns (B * neg_num, 3) with reference layout —
+    all ``neg_num`` corruptions of positive i occupy rows
+    [i*neg_num, (i+1)*neg_num)."""
+    B = pos.shape[0]
+    k_side, k_ent, k_pick = jax.random.split(key, 3)
+    h = jnp.repeat(pos[:, 0], neg_num)
+    r = jnp.repeat(pos[:, 1], neg_num)
+    t = jnp.repeat(pos[:, 2], neg_num)
+    lo_r = jnp.repeat(lo, neg_num)
+    hi_r = jnp.repeat(hi, neg_num)
+    n = B * neg_num
+
+    corrupt_head = jax.random.bernoulli(k_side, 0.5, (n,))
+    uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
+
+    if neighbors is not None:
+        target = jnp.where(corrupt_head, h, t)
+        col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[target]
+        from_nbr = neighbors.nbr[target, col]
+        cand = jnp.where(neighbors.has[target], from_nbr, uniform)
+    else:
+        cand = uniform
+
+    neg_h = jnp.where(corrupt_head, cand, h)
+    neg_t = jnp.where(corrupt_head, t, cand)
+    return jnp.stack([neg_h, r, neg_t], axis=1)
+
+
+def sample_neg_heads(key, pos_h: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                     neg_num: int,
+                     neighbors: Optional[NeighborState] = None) -> jnp.ndarray:
+    """Attribute-style corruption: head only (base/batch.py:172-184)."""
+    k_ent, k_pick = jax.random.split(key)
+    h = jnp.repeat(pos_h, neg_num)
+    lo_r = jnp.repeat(lo, neg_num)
+    hi_r = jnp.repeat(hi, neg_num)
+    n = h.shape[0]
+    uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
+    if neighbors is not None:
+        col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[h]
+        from_nbr = neighbors.nbr[h, col]
+        return jnp.where(neighbors.has[h], from_nbr, uniform)
+    return uniform
+
+
+def build_neighbor_state(entities_num: int, parts) -> NeighborState:
+    """Assemble one dense neighbor table from per-KG refresh results.
+
+    ``parts``: iterable of (useful_entities (U,), neighbor_ids (U, K)) with
+    neighbor ids already mapped into the global entity-id space."""
+    kmax = max(p[1].shape[1] for p in parts)
+    nbr = np.zeros((entities_num, kmax), np.int32)
+    has = np.zeros((entities_num,), bool)
+    cnt = np.ones((entities_num,), np.int32)
+    for useful_entities, neighbor_ids in parts:
+        k = neighbor_ids.shape[1]
+        nbr[useful_entities, :k] = neighbor_ids
+        has[useful_entities] = True
+        cnt[useful_entities] = k
+    return NeighborState(nbr=jnp.asarray(nbr), has=jnp.asarray(has),
+                         cnt=jnp.asarray(cnt))

@@ -1,0 +1,301 @@
+"""MultiKE trainer: owns parameters, per-stream optimizer states, device
+triple arrays, neighbor state, and the jitted epoch functions.
+
+The reference spreads this across ``MultiKE`` (MultiKE_model.py:66-473) plus
+producer processes; here each ``train_*_1epo`` method is one device call that
+runs the whole epoch (see train/streams.py). Log lines mirror the reference's
+format so existing log tooling keeps working.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multike_tpu.config import Config
+from multike_tpu.data.dataset import DataModel
+from multike_tpu.data.kg import triples_to_array
+from multike_tpu.params import init_params, l2_normalize
+from multike_tpu.sampling import (NeighborState, build_neighbor_state,
+                                  empty_neighbor_state)
+from multike_tpu.train import streams
+from multike_tpu.align.predicates import PredicateAlignModel
+
+
+def _topk_ids(embeds: jnp.ndarray, k: int, row_block: int = 1024) -> np.ndarray:
+    """Row-blocked top-k neighbor indices by inner-product similarity
+    (replaces the mp.Pool of base/batch.py:119-150)."""
+    U = embeds.shape[0]
+    k = min(k, U)
+
+    @jax.jit
+    def block_topk(blk, all_e):
+        s = jnp.dot(blk, all_e.T, preferred_element_type=jnp.float32)
+        _, idx = jax.lax.top_k(s, k)
+        return idx
+
+    out = np.zeros((U, k), np.int64)
+    for start in range(0, U, row_block):
+        stop = min(start + row_block, U)
+        out[start:stop] = np.asarray(block_topk(embeds[start:stop], embeds))
+    return out
+
+
+class MultiKETrainer:
+    def __init__(self, cfg: Config, data: DataModel,
+                 predicate_align_model: PredicateAlignModel,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.data = data
+        self.kgs = data.kgs
+        self.predicate_align_model = predicate_align_model
+        self.verbose = verbose
+
+        kgs = self.kgs
+        self.params = init_params(cfg, kgs.entities_num, kgs.relations_num,
+                                  kgs.attributes_num)
+        self.opt_states = streams.init_stream_opt_states(cfg, self.params)
+        self.key = jax.random.PRNGKey(cfg.seed)
+        self.constants = {
+            "name_embeds": jnp.asarray(data.local_name_vectors, jnp.float32),
+            "literal_embeds": jnp.asarray(data.value_vectors, jnp.float32),
+        }
+
+        self.ranges = kgs.entity_id_ranges()
+        self.rel_triples1 = jnp.asarray(triples_to_array(
+            kgs.kg1.local_relation_triples_set))
+        self.rel_triples2 = jnp.asarray(triples_to_array(
+            kgs.kg2.local_relation_triples_set))
+
+        # truncated-sampling neighbor table (one global table, per-KG counts)
+        eps = cfg.truncated_epsilon
+        self.k_nbr1 = max(1, int((1 - eps) * kgs.kg1.entities_num))
+        self.k_nbr2 = max(1, int((1 - eps) * kgs.kg2.entities_num))
+        self.neighbors = empty_neighbor_state(kgs.entities_num,
+                                              max(self.k_nbr1, self.k_nbr2))
+
+        self._epoch_fns: Dict = {}
+
+    # ------------------------------------------------------------------
+    # epoch-fn cache
+    # ------------------------------------------------------------------
+    def _get_epoch_fn(self, kind: str, *shape_key):
+        key = (kind,) + shape_key
+        if key not in self._epoch_fns:
+            cfg = self.cfg
+            if kind == "rel_view":
+                fn = streams.build_rel_view_epoch(cfg, *shape_key, self.ranges)
+            elif kind == "attr_view":
+                fn = streams.build_attr_view_epoch(cfg, *shape_key)
+            elif kind == "ckge_rel":
+                fn = streams.build_ckge_rel_epoch(cfg, *shape_key)
+            elif kind == "ckgp_rel":
+                fn = streams.build_ckgp_rel_epoch(cfg, *shape_key)
+            elif kind == "ckge_attr":
+                fn = streams.build_ckge_attr_epoch(cfg, *shape_key)
+            elif kind == "ckga_attr":
+                fn = streams.build_ckga_attr_epoch(cfg, *shape_key)
+            elif kind == "common_space":
+                fn = streams.build_common_space_epoch(cfg, *shape_key)
+            elif kind == "space_mapping":
+                fn = streams.build_space_mapping_epoch(cfg, *shape_key)
+            else:
+                raise KeyError(kind)
+            self._epoch_fns[key] = fn
+        return self._epoch_fns[key]
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg)
+
+    # ------------------------------------------------------------------
+    # view training epochs
+    # ------------------------------------------------------------------
+    def train_relation_view_1epo(self, epoch: int):
+        start = time.time()
+        n1 = int(self.rel_triples1.shape[0])
+        n2 = int(self.rel_triples2.shape[0])
+        epoch_fn, steps, trained = self._get_epoch_fn("rel_view", n1, n2)
+        self.params, self.opt_states["rel_view"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["rel_view"], self.key,
+            self.rel_triples1, self.rel_triples2, self.neighbors)
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of rel. view, avg. loss: {:.4f}, time: {:.4f}s"
+                  .format(epoch, loss, time.time() - start))
+        return loss
+
+    def _weighted_attr_arrays(self):
+        pam = self.predicate_align_model
+        w1 = pam.attribute_triples_w_weights1
+        w2 = pam.attribute_triples_w_weights2
+        t1 = np.asarray([(h, a, v) for (h, a, v, _) in w1], np.int32).reshape(-1, 3)
+        t2 = np.asarray([(h, a, v) for (h, a, v, _) in w2], np.int32).reshape(-1, 3)
+        f1 = np.asarray([w for (_, _, _, w) in w1], np.float32)
+        f2 = np.asarray([w for (_, _, _, w) in w2], np.float32)
+        return t1, f1, t2, f2
+
+    def train_attribute_view_1epo(self, epoch: int):
+        start = time.time()
+        t1, f1, t2, f2 = self._weighted_attr_arrays()
+        n1, n2 = len(t1), len(t2)
+        if n1 + n2 == 0:
+            return 0.0
+        epoch_fn, steps, trained = self._get_epoch_fn("attr_view", n1, n2)
+        self.params, self.opt_states["attr_view"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["attr_view"], self.key,
+            self.constants, jnp.asarray(t1), jnp.asarray(f1),
+            jnp.asarray(t2), jnp.asarray(f2))
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of att. view, avg. loss: {:.4f}, time: {:.4f}s"
+                  .format(epoch, loss, time.time() - start))
+        return loss
+
+    # ------------------------------------------------------------------
+    # cross-kg streams
+    # ------------------------------------------------------------------
+    def train_cross_kg_entity_inference_relation_view_1epo(
+            self, epoch: int, sup_triples: Sequence[Tuple[int, int, int]]):
+        if len(sup_triples) == 0:
+            return 0.0
+        start = time.time()
+        arr = jnp.asarray(np.asarray(list(sup_triples), np.int32))
+        epoch_fn, steps, trained = self._get_epoch_fn("ckge_rel", len(sup_triples))
+        self.params, self.opt_states["ckge_rel"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["ckge_rel"], self.key, arr)
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of cross-kg entity inference in rel. view, avg. loss:"
+                  " {:.4f}, time: {:.4f}s".format(epoch, loss, time.time() - start))
+        return loss
+
+    def train_cross_kg_relation_inference_1epo(self, epoch: int, sup_triples):
+        if len(sup_triples) == 0:
+            return 0.0
+        start = time.time()
+        ids = np.asarray([(h, r, t) for (h, r, t, _) in sup_triples], np.int32)
+        ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
+        epoch_fn, steps, trained = self._get_epoch_fn("ckgp_rel", len(sup_triples))
+        self.params, self.opt_states["ckgp_rel"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["ckgp_rel"], self.key,
+            jnp.asarray(ids), jnp.asarray(ws))
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of cross-kg relation inference in rel. view, avg. "
+                  "loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
+                                                       time.time() - start))
+        return loss
+
+    def train_cross_kg_entity_inference_attribute_view_1epo(
+            self, epoch: int, sup_triples):
+        if len(sup_triples) == 0:
+            return 0.0
+        start = time.time()
+        arr = jnp.asarray(np.asarray(list(sup_triples), np.int32))
+        epoch_fn, steps, trained = self._get_epoch_fn("ckge_attr", len(sup_triples))
+        self.params, self.opt_states["ckge_attr"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["ckge_attr"], self.key,
+            self.constants, arr)
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of cross-kg entity inference in attr. view, avg. "
+                  "loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
+                                                       time.time() - start))
+        return loss
+
+    def train_cross_kg_attribute_inference_1epo(self, epoch: int, sup_triples):
+        if len(sup_triples) == 0:
+            return 0.0
+        start = time.time()
+        ids = np.asarray([(h, a, v) for (h, a, v, _) in sup_triples], np.int32)
+        ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
+        epoch_fn, steps, trained = self._get_epoch_fn("ckga_attr", len(sup_triples))
+        self.params, self.opt_states["ckga_attr"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["ckga_attr"], self.key,
+            self.constants, jnp.asarray(ids), jnp.asarray(ws))
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of cross-kg attribute inference in attr. view, avg."
+                  " loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
+                                                        time.time() - start))
+        return loss
+
+    # ------------------------------------------------------------------
+    # combination streams
+    # ------------------------------------------------------------------
+    def train_common_space_learning_1epo(self, epoch: int, entities: Sequence[int]):
+        start = time.time()
+        arr = jnp.asarray(np.asarray(list(entities), np.int32))
+        epoch_fn, steps, trained = self._get_epoch_fn("common_space", len(entities))
+        self.params, self.opt_states["common_space"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["common_space"], self.key,
+            self.constants, arr)
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of common space learning, avg. loss: {:.4f}, "
+                  "time: {:.4f}s".format(epoch, loss, time.time() - start))
+        return loss
+
+    def train_shared_space_mapping_1epo(self, epoch: int, entities: Sequence[int]):
+        start = time.time()
+        arr = jnp.asarray(np.asarray(list(entities), np.int32))
+        epoch_fn, steps, trained = self._get_epoch_fn("space_mapping", len(entities))
+        self.params, self.opt_states["space_mapping"], self.key, loss = epoch_fn(
+            self.params, self.opt_states["space_mapping"], self.key,
+            self.constants, arr)
+        loss = float(loss) / max(trained, 1)
+        self._log("epoch {} of shared space learning, avg. loss: {:.4f}, "
+                  "time: {:.4f}s".format(epoch, loss, time.time() - start))
+        return loss
+
+    # ------------------------------------------------------------------
+    # neighbor refresh (truncated negative sampling)
+    # ------------------------------------------------------------------
+    def generate_neighbors(self):
+        """Refresh the truncated-sampling candidates from the current rv
+        embeddings of the 'useful' entities (MultiKE_Late.py:256-269)."""
+        t1 = time.time()
+        kgs = self.kgs
+        rv = l2_normalize(self.params["rv_ent"], axis=1)
+        parts = []
+        for useful, k in ((kgs.useful_entities_list1, self.k_nbr1),
+                          (kgs.useful_entities_list2, self.k_nbr2)):
+            useful = np.asarray(useful, np.int64)
+            embeds = rv[jnp.asarray(useful)]
+            idx = _topk_ids(embeds, k)          # indices into `useful`
+            parts.append((useful, useful[idx].astype(np.int32)))
+        self.neighbors = build_neighbor_state(kgs.entities_num, parts)
+        ent_num = kgs.kg1.entities_num + kgs.kg2.entities_num
+        self._log("generating neighbors of {} entities costs {:.3f} s."
+                  .format(ent_num, time.time() - t1))
+
+    # ------------------------------------------------------------------
+    # embedding access (normalized reads, like the reference's tensor reads)
+    # ------------------------------------------------------------------
+    def current_embeds(self, which: str) -> np.ndarray:
+        if which == "nv":
+            return np.asarray(self.constants["name_embeds"])
+        if which == "rv":
+            return np.asarray(l2_normalize(self.params["rv_ent"], axis=1))
+        if which == "av":
+            return np.asarray(l2_normalize(self.params["av_ent"], axis=1))
+        if which == "final":
+            return np.asarray(l2_normalize(self.params["ent"], axis=1))
+        if which == "rel":
+            return np.asarray(l2_normalize(self.params["rel"], axis=1))
+        if which == "attr":
+            return np.asarray(self.params["attr"])
+        raise KeyError(which)
+
+    def save(self, out_folder: Optional[str] = None):
+        from multike_tpu.persistence import generate_out_folder, save_embeddings
+
+        folder = out_folder or generate_out_folder(
+            self.cfg.output, self.cfg.training_data, "",
+            self.__class__.__name__)
+        save_embeddings(folder, self.kgs,
+                        self.current_embeds("final"),
+                        self.current_embeds("nv"),
+                        self.current_embeds("rv"),
+                        self.current_embeds("av"),
+                        self.current_embeds("rel"),
+                        self.current_embeds("attr"))
+        return folder

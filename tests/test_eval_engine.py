@@ -1,0 +1,134 @@
+"""Evaluation engine tests: blockwise rank-count vs a dense argsort oracle,
+CSLS parity, similarity API, stable matching."""
+import numpy as np
+import pytest
+
+from multike_tpu.eval.alignment import (calculate_rank, galeshapley,
+                                        greedy_alignment, rank_and_align,
+                                        stable_alignment)
+from multike_tpu.eval.evaluation import early_stop, test as eval_test
+from multike_tpu.eval.evaluation import valid as eval_valid
+from multike_tpu.eval.similarity import csls_sim, sim
+
+rng = np.random.RandomState(42)
+
+
+def _dense_oracle(e1, e2, csls_k=0):
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-30)
+
+    s = norm(e1) @ norm(e2).T
+    if csls_k > 0:
+        s = csls_sim(s, csls_k)
+    ranks = np.zeros(len(e1), np.int64)
+    best = np.zeros(len(e1), np.int64)
+    for i in range(len(e1)):
+        ranks[i] = int(np.sum(s[i] > s[i, i]))
+        best[i] = int(np.argmax(s[i]))
+    return ranks, best
+
+
+def test_rank_and_align_matches_dense():
+    n1, n2, d = 120, 157, 9
+    e1 = rng.randn(n1, d).astype(np.float32)
+    e2 = rng.randn(n2, d).astype(np.float32)
+    e2[:n1] += 2.5 * e1  # make golds often-but-not-always best
+    ranks, best = rank_and_align(e1, e2, normalize=True, row_block=37,
+                                 col_block=32)
+    want_r, want_b = _dense_oracle(e1, e2)
+    assert np.array_equal(ranks, want_r)
+    assert np.array_equal(best, want_b)
+
+
+def test_rank_and_align_csls_matches_dense():
+    n1, n2, d = 60, 80, 7
+    e1 = rng.randn(n1, d).astype(np.float32)
+    e2 = rng.randn(n2, d).astype(np.float32)
+    e2[:n1] += 1.5 * e1
+    k = 5
+    ranks, best = rank_and_align(e1, e2, normalize=True, csls_k=k,
+                                 row_block=16, col_block=16)
+    want_r, want_b = _dense_oracle(e1, e2, csls_k=k)
+    assert np.array_equal(ranks, want_r)
+    assert np.array_equal(best, want_b)
+
+
+def test_greedy_alignment_metrics():
+    n, d = 50, 8
+    e1 = rng.randn(n, d).astype(np.float32)
+    e2 = e1.copy()  # perfect alignment
+    rest, hits1, mr, mrr = greedy_alignment(e1, e2, [1, 5], 1, "inner", True,
+                                            0, True, verbose=False)
+    assert hits1 == 100.0 and mr == 1.0 and mrr == 1.0
+    assert rest == {(i, i) for i in range(n)}
+
+
+def test_greedy_alignment_vs_calculate_rank_oracle():
+    n1, n2, d = 40, 55, 6
+    e1 = rng.randn(n1, d).astype(np.float32)
+    e2 = rng.randn(n2, d).astype(np.float32)
+    e2[:n1] += 1.2 * e1
+    _, hits1, mr, mrr = greedy_alignment(e1, e2, [1, 5, 10], 1, "inner", True,
+                                         0, True, verbose=False)
+    s = sim(e1, e2, metric="inner", normalize=True)
+    want_mr, want_mrr, want_hits, _ = calculate_rank(list(range(n1)), s,
+                                                     [1, 5, 10], True, n1)
+    assert np.isclose(mr, want_mr)
+    assert np.isclose(mrr, want_mrr, rtol=1e-6)
+    assert np.isclose(hits1, want_hits[0] / n1 * 100, atol=1e-6)
+
+
+def test_eval_valid_with_mapping():
+    n, d = 30, 5
+    e1 = rng.randn(n, d).astype(np.float32)
+    M = np.eye(d, dtype=np.float32)
+    e2 = e1.copy()
+    hits1, mrr = eval_valid(e1, e2, M, [1], 1, normalize=True)
+    assert hits1 == 100.0
+
+
+def test_sim_metrics():
+    e1 = rng.randn(10, 4).astype(np.float32)
+    e2 = rng.randn(12, 4).astype(np.float32)
+    s_inner = sim(e1, e2, "inner")
+    assert np.allclose(s_inner, e1 @ e2.T, atol=1e-5)
+    s_cos = sim(e1, e2, "cosine")
+    n1 = e1 / np.linalg.norm(e1, axis=1, keepdims=True)
+    n2 = e2 / np.linalg.norm(e2, axis=1, keepdims=True)
+    assert np.allclose(s_cos, n1 @ n2.T, atol=1e-5)
+    s_euc = sim(e1, e2, "euclidean")
+    from scipy.spatial.distance import cdist
+
+    assert np.allclose(s_euc, 1 - cdist(e1, e2), atol=1e-4)
+
+
+def test_csls_sim_matches_reference_formula():
+    s = rng.rand(8, 9).astype(np.float32)
+    k = 3
+    got = csls_sim(s, k)
+    sorted_rows = -np.sort(-s, axis=1)
+    r1 = sorted_rows[:, :k].mean(axis=1)
+    sorted_cols = -np.sort(-s.T, axis=1)
+    r2 = sorted_cols[:, :k].mean(axis=1)
+    want = 2 * s - r1[:, None] - r2[None, :]
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_early_stop_rule():
+    f1, f2, stop = early_stop(0.5, 0.4, 0.3)
+    assert stop
+    f1, f2, stop = early_stop(0.3, 0.4, 0.5)
+    assert not stop
+
+
+def test_galeshapley_stable():
+    suitors = {"x_0": ["y_0", "y_1"], "x_1": ["y_0", "y_1"]}
+    reviewers = {"y_0": ["x_0", "x_1"], "y_1": ["x_0", "x_1"]}
+    m = galeshapley(suitors, reviewers, 10)
+    assert m == {"x_0": "y_0", "x_1": "y_1"}
+
+
+def test_stable_alignment_perfect():
+    e = rng.randn(12, 6).astype(np.float32)
+    p = stable_alignment(e, e, normalize=True, verbose=False)
+    assert p == 100.0
