@@ -16,6 +16,7 @@ All progress chatter goes to stderr; stdout carries only the JSON line.
 """
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -24,6 +25,22 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def enable_compile_cache():
+    """First axon-tunnel compile takes minutes; persist compiled executables
+    so driver re-runs start hot."""
+    import jax
+
+    cache_dir = os.environ.get("MULTIKE_JAX_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        log("compile cache unavailable:", e)
 
 
 def synthetic_triples(rng, n_triples, ent_lo, ent_hi, n_rel, rel_lo):
@@ -38,7 +55,6 @@ def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1):
     import jax.numpy as jnp
 
     from multike_tpu.params import init_params
-    from multike_tpu.sampling import empty_neighbor_state
     from multike_tpu.train import streams
 
     entities_num = ranges[1][1]
@@ -48,19 +64,18 @@ def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1):
     key = jax.random.PRNGKey(0)
     t1 = jnp.asarray(triples1)
     t2 = jnp.asarray(triples2)
-    nbr = empty_neighbor_state(entities_num)
     epoch_fn, steps, trained = streams.build_rel_view_epoch(
-        cfg, len(triples1), len(triples2), ranges)
+        cfg, len(triples1), len(triples2), ranges, with_neighbors=False)
 
     opt = opt_states["rel_view"]
     for _ in range(warmup):
-        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2, nbr)
+        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2)
     jax.block_until_ready(loss)
     log(f"jax warmup done, steps/epoch={steps}, loss={float(loss):.1f}")
 
     t0 = time.perf_counter()
     for _ in range(epochs):
-        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2, nbr)
+        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     tps = trained * epochs / dt
@@ -154,6 +169,7 @@ def main():
     triples2 = synthetic_triples(rng, n_tri, n_ent, 2 * n_ent, n_rel, n_rel)
     ranges = ((0, n_ent), (n_ent, 2 * n_ent))
 
+    enable_compile_cache()
     import jax
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")

@@ -95,13 +95,21 @@ def _normalize_np(x: np.ndarray) -> np.ndarray:
     return np.where(n > 0, x / np.maximum(n, 1e-30), x)
 
 
+def _use_pallas_default() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
                    row_block: int = 4096, col_block: int = 4096,
-                   matmul_dtype=jnp.float32):
+                   matmul_dtype=jnp.float32, use_pallas: bool | None = None):
     """Returns (rank_index (n1,), best_idx (n1,)) as numpy arrays.
 
     Gold for row i is column i (requires n2 >= n1), matching the reference's
-    evaluation layout (base/alignment.py:148: gold = idx[i])."""
+    evaluation layout (base/alignment.py:148: gold = idx[i]).
+
+    On TPU the fused Pallas kernel (kernels/rank_kernel.py) computes the
+    whole rank/argmax reduction in one pallas_call; elsewhere (or with
+    use_pallas=False) a scanned-XLA path produces identical results."""
     e1 = np.asarray(embed1, np.float32)
     e2 = np.asarray(embed2, np.float32)
     assert e2.shape[0] >= e1.shape[0], "gold column must exist for every row"
@@ -120,6 +128,17 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
                                          col_block=col_block)
         # adjusted gold: 2*s_ii - r2_i  (r1_i is constant within the row)
         gold_all = 2.0 * gold_all - r2[:n1]
+
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from multike_tpu.kernels.rank_kernel import rank_count_pallas
+
+        gold_idx = jnp.arange(n1, dtype=jnp.int32)
+        cnt, bidx, _ = rank_count_pallas(d1.astype(jnp.float32), gold_all,
+                                         gold_idx, d2.astype(jnp.float32),
+                                         r2, use_csls=csls_k > 0)
+        return np.asarray(cnt).astype(np.int64), np.asarray(bidx).astype(np.int64)
 
     ranks = np.zeros((n1,), np.int64)
     best = np.zeros((n1,), np.int64)

@@ -38,9 +38,13 @@ class NeighborState(NamedTuple):
     cnt: jnp.ndarray  # (E,) int32 (>= 1)
 
 
-def empty_neighbor_state(entities_num: int, k: int = 1) -> NeighborState:
+def empty_neighbor_state(entities_num: int, k: int = 8) -> NeighborState:
+    # k floor of 8: a degenerate (E, 1) table provokes a pathological XLA
+    # optimization pass (~minutes of compile for the surrounding scan,
+    # measured on the axon TPU backend). Prefer passing neighbors=None until
+    # the first refresh — the no-neighbor epoch variant compiles leaner.
     return NeighborState(
-        nbr=jnp.zeros((entities_num, max(k, 1)), jnp.int32),
+        nbr=jnp.zeros((entities_num, max(k, 8)), jnp.int32),
         has=jnp.zeros((entities_num,), bool),
         cnt=jnp.ones((entities_num,), jnp.int32),
     )
@@ -100,7 +104,10 @@ def build_neighbor_state(entities_num: int, parts) -> NeighborState:
 
     ``parts``: iterable of (useful_entities (U,), neighbor_ids (U, K)) with
     neighbor ids already mapped into the global entity-id space."""
-    kmax = max(p[1].shape[1] for p in parts)
+    # floor of 8 columns: see empty_neighbor_state (columns >= cnt are never
+    # sampled; they only keep the table shape out of XLA's degenerate-gather
+    # pathology)
+    kmax = max(max(p[1].shape[1] for p in parts), 8)
     nbr = np.zeros((entities_num, kmax), np.int32)
     has = np.zeros((entities_num,), bool)
     cnt = np.ones((entities_num,), np.int32)

@@ -135,7 +135,11 @@ def proportional_sizes(n1: int, n2: int, batch_size: int) -> Tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
-                         ranges: Tuple[Tuple[int, int], Tuple[int, int]]):
+                         ranges: Tuple[Tuple[int, int], Tuple[int, int]],
+                         with_neighbors: bool = True):
+    """``with_neighbors=False`` compiles the pre-refresh variant whose
+    sampling skips the neighbor-table gathers entirely (leaner executable;
+    also avoids a degenerate-empty-table XLA pathology)."""
     steps = int(np.ceil((n1 + n2) / cfg.batch_size))
     bs1, bs2 = proportional_sizes(n1, n2, cfg.batch_size)
     (lo1, hi1), (lo2, hi2) = ranges
@@ -157,9 +161,7 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
 
     update = _make_update(cfg, "rel_view", loss_of)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch(params, opt_state, key, triples1, triples2,
-              nbr: NeighborState):
+    def epoch_impl(params, opt_state, key, triples1, triples2, nbr):
         key, k_idx = jax.random.split(key)
         idx1, idx2, m1, m2 = _mixed_epoch_indices(k_idx, n1, n2, bs1, bs2, steps)
         step_keys = jax.random.split(key, steps + 1)
@@ -179,6 +181,13 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state), (idx1, idx2, m1, m2, step_keys))
         return params, opt_state, key, jnp.sum(losses)
+
+    if with_neighbors:
+        epoch = jax.jit(epoch_impl, donate_argnums=(0, 1))
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def epoch(params, opt_state, key, triples1, triples2):
+            return epoch_impl(params, opt_state, key, triples1, triples2, None)
 
     trained_per_epoch = min(n1, steps * bs1) + min(n2, steps * bs2)
     return epoch, steps, trained_per_epoch
@@ -225,11 +234,17 @@ def build_attr_view_epoch(cfg: Config, n1: int, n2: int):
 
 
 def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
-                   with_weights: bool, needs_constants: bool):
+                   with_weights: bool, needs_constants: bool,
+                   steps: int | None = None):
     """Shared builder for streams that draw ``random.sample`` batches each
     step (MultiKE_model.py:349-473): ckge_rel, ckgp_rel, ckge_attr,
-    ckga_attr, common_space, space_mapping."""
-    steps = max(1, int(np.ceil(n / batch_size)))
+    ckga_attr, common_space, space_mapping.
+
+    ``n`` is the (possibly bucket-padded, see trainer._bucketed) row capacity
+    of the data arrays; ``steps`` overrides the step count so a capacity
+    bucket serving several true sizes keeps one compiled executable."""
+    if steps is None:
+        steps = max(1, int(np.ceil(n / batch_size)))
     bs = batch_size if steps > 1 else n
     update = _make_update(cfg, stream, loss_of)
 
@@ -263,7 +278,7 @@ def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
     return epoch, steps, steps * bs
 
 
-def build_ckge_rel_epoch(cfg: Config, n: int):
+def build_ckge_rel_epoch(cfg: Config, n: int, steps: int | None = None):
     def loss_of(merged, pos):
         phs = lookup_norm(merged["rv_ent"], pos[:, 0])
         prs = lookup_norm(merged["rel"], pos[:, 1])
@@ -271,10 +286,11 @@ def build_ckge_rel_epoch(cfg: Config, n: int):
         return 2.0 * relation_logistic_loss_wo_negs(phs, prs, pts)
 
     return _sampled_epoch(cfg, "ckge_rel", n, cfg.batch_size, loss_of,
-                          with_weights=False, needs_constants=False)
+                          with_weights=False, needs_constants=False,
+                          steps=steps)
 
 
-def build_ckgp_rel_epoch(cfg: Config, n: int):
+def build_ckgp_rel_epoch(cfg: Config, n: int, steps: int | None = None):
     from multike_tpu.losses import logistic_loss_wo_negs
 
     def loss_of(merged, pos, w):
@@ -284,10 +300,11 @@ def build_ckgp_rel_epoch(cfg: Config, n: int):
         return 2.0 * logistic_loss_wo_negs(phs, prs, pts, w)
 
     return _sampled_epoch(cfg, "ckgp_rel", n, cfg.batch_size, loss_of,
-                          with_weights=True, needs_constants=False)
+                          with_weights=True, needs_constants=False,
+                          steps=steps)
 
 
-def build_ckge_attr_epoch(cfg: Config, n: int):
+def build_ckge_attr_epoch(cfg: Config, n: int, steps: int | None = None):
     def loss_of(merged, constants, pos):
         phs = lookup_norm(merged["av_ent"], pos[:, 0])
         pas = merged["attr"][pos[:, 1]]
@@ -296,10 +313,11 @@ def build_ckge_attr_epoch(cfg: Config, n: int):
         return 2.0 * positive_logistic_from_scores(score)
 
     return _sampled_epoch(cfg, "ckge_attr", n, cfg.attribute_batch_size,
-                          loss_of, with_weights=False, needs_constants=True)
+                          loss_of, with_weights=False, needs_constants=True,
+                          steps=steps)
 
 
-def build_ckga_attr_epoch(cfg: Config, n: int):
+def build_ckga_attr_epoch(cfg: Config, n: int, steps: int | None = None):
     def loss_of(merged, constants, pos, w):
         phs = lookup_norm(merged["av_ent"], pos[:, 0])
         pas = merged["attr"][pos[:, 1]]
@@ -308,10 +326,11 @@ def build_ckga_attr_epoch(cfg: Config, n: int):
         return positive_logistic_from_scores(score, weights=w)
 
     return _sampled_epoch(cfg, "ckga_attr", n, cfg.attribute_batch_size,
-                          loss_of, with_weights=True, needs_constants=True)
+                          loss_of, with_weights=True, needs_constants=True,
+                          steps=steps)
 
 
-def build_common_space_epoch(cfg: Config, n: int):
+def build_common_space_epoch(cfg: Config, n: int, steps: int | None = None):
     """ITC combination (MultiKE_model.py:225-239): optimize
     cv_weight * (cv_name_weight*||e-n||^2 + ||e-r||^2 + ||e-a||^2)."""
     cvw, cnw = cfg.cv_weight, cfg.cv_name_weight
@@ -327,10 +346,11 @@ def build_common_space_epoch(cfg: Config, n: int):
         return cvw * loss
 
     return _sampled_epoch(cfg, "common_space", n, cfg.entity_batch_size,
-                          loss_of, with_weights=False, needs_constants=True)
+                          loss_of, with_weights=False, needs_constants=True,
+                          steps=steps)
 
 
-def build_space_mapping_epoch(cfg: Config, n: int):
+def build_space_mapping_epoch(cfg: Config, n: int, steps: int | None = None):
     """SSL combination (MultiKE_model.py:241-261): only 'shared' variables
     (ent + the three mappings) receive updates."""
     ow = cfg.orthogonal_weight
@@ -348,4 +368,5 @@ def build_space_mapping_epoch(cfg: Config, n: int):
         return loss
 
     return _sampled_epoch(cfg, "space_mapping", n, cfg.entity_batch_size,
-                          loss_of, with_weights=False, needs_constants=True)
+                          loss_of, with_weights=False, needs_constants=True,
+                          steps=steps)

@@ -75,10 +75,35 @@ class MultiKETrainer:
         eps = cfg.truncated_epsilon
         self.k_nbr1 = max(1, int((1 - eps) * kgs.kg1.entities_num))
         self.k_nbr2 = max(1, int((1 - eps) * kgs.kg2.entities_num))
-        self.neighbors = empty_neighbor_state(kgs.entities_num,
-                                              max(self.k_nbr1, self.k_nbr2))
+        # None until the first refresh: the no-neighbor epoch variant is used
+        # (leaner compile; avoids a degenerate-table XLA pathology).
+        self.neighbors: Optional[NeighborState] = None
 
         self._epoch_fns: Dict = {}
+
+    # ------------------------------------------------------------------
+    # capacity bucketing: predicate-alignment refresh changes the sup-triple
+    # counts every 10 epochs; compiling a fresh epoch executable per exact
+    # count would thrash the (slow) TPU compiler. Arrays are padded by
+    # wraparound to a bucketed capacity (<=12.5% padding) and the step count
+    # keeps its true value, so one executable serves a whole bucket. The
+    # padded rows duplicate real triples — a bounded sampling bias the
+    # reference's own random.sample does not have (documented delta).
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bucket_capacity(n: int) -> int:
+        if n <= 512:
+            return max(n, 1)
+        g = max(256, 1 << (int(np.log2(n)) - 3))
+        return int(-(-n // g) * g)
+
+    @staticmethod
+    def _pad_wrap(arr: np.ndarray, capacity: int) -> np.ndarray:
+        n = len(arr)
+        if n >= capacity:
+            return arr[:capacity]
+        reps = -(-capacity // n)
+        return np.concatenate([arr] * reps)[:capacity]
 
     # ------------------------------------------------------------------
     # epoch-fn cache
@@ -88,7 +113,9 @@ class MultiKETrainer:
         if key not in self._epoch_fns:
             cfg = self.cfg
             if kind == "rel_view":
-                fn = streams.build_rel_view_epoch(cfg, *shape_key, self.ranges)
+                n1, n2, with_nbr = shape_key
+                fn = streams.build_rel_view_epoch(cfg, n1, n2, self.ranges,
+                                                  with_neighbors=with_nbr)
             elif kind == "attr_view":
                 fn = streams.build_attr_view_epoch(cfg, *shape_key)
             elif kind == "ckge_rel":
@@ -119,10 +146,14 @@ class MultiKETrainer:
         start = time.time()
         n1 = int(self.rel_triples1.shape[0])
         n2 = int(self.rel_triples2.shape[0])
-        epoch_fn, steps, trained = self._get_epoch_fn("rel_view", n1, n2)
+        with_nbr = self.neighbors is not None
+        epoch_fn, steps, trained = self._get_epoch_fn("rel_view", n1, n2,
+                                                      with_nbr)
+        args = (self.rel_triples1, self.rel_triples2)
+        if with_nbr:
+            args = args + (self.neighbors,)
         self.params, self.opt_states["rel_view"], self.key, loss = epoch_fn(
-            self.params, self.opt_states["rel_view"], self.key,
-            self.rel_triples1, self.rel_triples2, self.neighbors)
+            self.params, self.opt_states["rel_view"], self.key, *args)
         loss = float(loss) / max(trained, 1)
         self._log("epoch {} of rel. view, avg. loss: {:.4f}, time: {:.4f}s"
                   .format(epoch, loss, time.time() - start))
@@ -177,10 +208,14 @@ class MultiKETrainer:
         start = time.time()
         ids = np.asarray([(h, r, t) for (h, r, t, _) in sup_triples], np.int32)
         ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
-        epoch_fn, steps, trained = self._get_epoch_fn("ckgp_rel", len(sup_triples))
+        n = len(sup_triples)
+        cap = self._bucket_capacity(n)
+        true_steps = max(1, int(np.ceil(n / self.cfg.batch_size)))
+        epoch_fn, steps, trained = self._get_epoch_fn("ckgp_rel", cap, true_steps)
         self.params, self.opt_states["ckgp_rel"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckgp_rel"], self.key,
-            jnp.asarray(ids), jnp.asarray(ws))
+            jnp.asarray(self._pad_wrap(ids, cap)),
+            jnp.asarray(self._pad_wrap(ws, cap)))
         loss = float(loss) / max(trained, 1)
         self._log("epoch {} of cross-kg relation inference in rel. view, avg. "
                   "loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
@@ -209,10 +244,14 @@ class MultiKETrainer:
         start = time.time()
         ids = np.asarray([(h, a, v) for (h, a, v, _) in sup_triples], np.int32)
         ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
-        epoch_fn, steps, trained = self._get_epoch_fn("ckga_attr", len(sup_triples))
+        n = len(sup_triples)
+        cap = self._bucket_capacity(n)
+        true_steps = max(1, int(np.ceil(n / self.cfg.attribute_batch_size)))
+        epoch_fn, steps, trained = self._get_epoch_fn("ckga_attr", cap, true_steps)
         self.params, self.opt_states["ckga_attr"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckga_attr"], self.key,
-            self.constants, jnp.asarray(ids), jnp.asarray(ws))
+            self.constants, jnp.asarray(self._pad_wrap(ids, cap)),
+            jnp.asarray(self._pad_wrap(ws, cap)))
         loss = float(loss) / max(trained, 1)
         self._log("epoch {} of cross-kg attribute inference in attr. view, avg."
                   " loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
