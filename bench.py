@@ -27,6 +27,46 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_tpu_alive(timeout_s: int = 90) -> bool:
+    """Run a trivial jit in a subprocess with a timeout. The axon tunnel can
+    wedge (e.g. after a Mosaic kernel execution elsewhere); a wedged device
+    hangs every call, so probe out-of-process before committing to it."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda x:(x@x).sum())(jnp.ones((64,64)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def ensure_usable_backend(max_wait_s: int = 600):
+    """If the TPU tunnel is wedged, wait for recovery (probing), then fall
+    back to CPU so the bench reports *something* instead of hanging."""
+    if os.environ.get("MULTIKE_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        log("forced CPU backend")
+        return
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
+    waited = 0
+    while waited <= max_wait_s:
+        if probe_tpu_alive():
+            return
+        log(f"TPU probe failed; waiting for tunnel recovery ({waited}s)...")
+        time.sleep(60)
+        waited += 150  # probe timeout + sleep
+    log("TPU unusable; falling back to CPU backend (numbers will be low!)")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def enable_compile_cache():
     """First axon-tunnel compile takes minutes; persist compiled executables
     so driver re-runs start hot."""
@@ -169,6 +209,7 @@ def main():
     triples2 = synthetic_triples(rng, n_tri, n_ent, 2 * n_ent, n_rel, n_rel)
     ranges = ((0, n_ent), (n_ent, 2 * n_ent))
 
+    ensure_usable_backend()
     enable_compile_cache()
     import jax
 

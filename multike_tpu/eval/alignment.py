@@ -63,7 +63,8 @@ def _rank_block(e1_blk: jnp.ndarray, gold: jnp.ndarray, gold_idx: jnp.ndarray,
         else:
             blk, inval, off = xs
             r2b = None
-        s = jnp.dot(e1_blk, blk.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(e1_blk, blk.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         if r2b is not None:
             s = 2.0 * s - r2b[None, :]
         s = jnp.where(inval[None, :], -jnp.inf, s)
@@ -96,6 +97,14 @@ def _normalize_np(x: np.ndarray) -> np.ndarray:
 
 
 def _use_pallas_default() -> bool:
+    import os
+
+    # The axon tunnel backend executes Mosaic kernels but wedges on any
+    # subsequent device->host transfer (measured: even a minimal pallas_call
+    # output never arrives). Use the XLA engine there; real TPU runtimes get
+    # the fused kernel.
+    if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        return False
     return jax.default_backend() == "tpu"
 
 

@@ -12,9 +12,11 @@ so the score matrix never exists in HBM and no sort ever runs. The same
 kernel serves greedy-alignment eval (Hits@k/MR/MRR are functions of count)
 and, with the CSLS column penalty, the CSLS ranking path.
 
-Grid: (n1/BM, n2/BN), col-blocks innermost; the (BM,)-shaped accumulators
-alias the same output block across the j axis (standard Pallas reduction
-layout). Inputs are padded to block multiples by the host wrapper; padded
+Grid: (n1/BM, n2/BN), col-blocks innermost; the per-row accumulators alias
+the same output block across the j axis (standard Pallas reduction layout).
+All vector operands are carried as (1, n) 2-D arrays — Mosaic requires
+lane-aligned >=2-D layouts (1-D f32 blocks fail layout verification on real
+TPUs). Inputs are padded to block multiples by the host wrapper; padded
 columns are masked by index, padded rows produce garbage that the wrapper
 drops.
 """
@@ -42,29 +44,33 @@ def _rank_kernel(e1_ref, gold_ref, gidx_ref, e2_ref, r2_ref,
         bval_ref[:] = jnp.full_like(bval_ref, NEG_INF)
         bidx_ref[:] = jnp.zeros_like(bidx_ref)
 
+    # HIGHEST: the MXU's default rounds f32 inputs to bf16 (measured ~1e-1
+    # score error) which corrupts ranks; 3-pass f32-equivalent mode keeps the
+    # count exact to ~1e-5.
     s = jax.lax.dot_general(
         e1_ref[:], e2_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)            # (BM, BN)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # (BM, BN)
 
     if use_csls:
-        s = 2.0 * s - r2_ref[:][None, :]
+        s = 2.0 * s - r2_ref[0, :][None, :]
 
     col0 = j * bn
     cols = col0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     valid = cols < n2
     s = jnp.where(valid, s, NEG_INF)
 
-    gold = gold_ref[:]                                  # (BM,)
-    gidx = gidx_ref[:]
+    gold = gold_ref[0, :]                               # (BM,)
+    gidx = gidx_ref[0, :]
     beats = jnp.logical_and(s > gold[:, None], cols != gidx[:, None])
-    count_ref[:] = count_ref[:] + jnp.sum(beats.astype(jnp.int32), axis=1)
+    count_ref[0, :] = count_ref[0, :] + jnp.sum(beats.astype(jnp.int32), axis=1)
 
     tile_best = jnp.max(s, axis=1)
     tile_arg = col0 + jnp.argmax(s, axis=1).astype(jnp.int32)
-    take = tile_best > bval_ref[:]
-    bidx_ref[:] = jnp.where(take, tile_arg, bidx_ref[:])
-    bval_ref[:] = jnp.where(take, tile_best, bval_ref[:])
+    take = tile_best > bval_ref[0, :]
+    bidx_ref[0, :] = jnp.where(take, tile_arg, bidx_ref[0, :])
+    bval_ref[0, :] = jnp.where(take, tile_best, bval_ref[0, :])
 
 
 def _pad_to(x, m, axis, value=0.0):
@@ -94,12 +100,12 @@ def rank_count_pallas(e1: jnp.ndarray, gold: jnp.ndarray, gold_idx: jnp.ndarray,
     n2 = e2.shape[0]
     e1p = _pad_to(e1, bm, 0)
     e2p = _pad_to(e2, bn, 0)
-    goldp = _pad_to(gold, bm, 0)
-    gidxp = _pad_to(gold_idx, bm, 0)
+    goldp = _pad_to(gold, bm, 0)[None, :]
+    gidxp = _pad_to(gold_idx, bm, 0)[None, :]
     if r2 is None:
-        r2p = jnp.zeros((e2p.shape[0],), jnp.float32)
+        r2p = jnp.zeros((1, e2p.shape[0]), jnp.float32)
     else:
-        r2p = _pad_to(r2, bn, 0)
+        r2p = _pad_to(r2, bn, 0)[None, :]
     m1, m2 = e1p.shape[0], e2p.shape[0]
     grid = (m1 // bm, m2 // bn)
 
@@ -109,21 +115,21 @@ def rank_count_pallas(e1: jnp.ndarray, gold: jnp.ndarray, gold_idx: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((bm,), lambda i, j: (i,)),
-            pl.BlockSpec((bm,), lambda i, j: (i,)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
             pl.BlockSpec((bn, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((bn,), lambda i, j: (j,)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((bm,), lambda i, j: (i,)),
-            pl.BlockSpec((bm,), lambda i, j: (i,)),
-            pl.BlockSpec((bm,), lambda i, j: (i,)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m1,), jnp.int32),
-            jax.ShapeDtypeStruct((m1,), jnp.float32),
-            jax.ShapeDtypeStruct((m1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, m1), jnp.int32),
+            jax.ShapeDtypeStruct((1, m1), jnp.float32),
+            jax.ShapeDtypeStruct((1, m1), jnp.int32),
         ],
         interpret=interpret,
     )(e1p, goldp, gidxp, e2p, r2p)
-    return count[:n1], bidx[:n1], bval[:n1]
+    return count[0, :n1], bidx[0, :n1], bval[0, :n1]

@@ -22,6 +22,45 @@ import jax
 import jax.numpy as jnp
 
 
+def load_embeddings(file_name: str):
+    """base/read.py:6-9."""
+    if os.path.exists(file_name):
+        return np.load(file_name)
+    return None
+
+
+def pair2file(file: str, pairs) -> None:
+    """base/read.py:276-282."""
+    if pairs is None:
+        return
+    with open(file, "w", encoding="utf8") as f:
+        for i, j in pairs:
+            f.write(f"{i}\t{j}\n")
+
+
+def line2file(file: str, lines) -> None:
+    """base/read.py:295-302."""
+    if lines is None:
+        return
+    with open(file, "w", encoding="utf8") as f:
+        for line in lines:
+            f.write(line + "\n")
+
+
+def radio_2file(radio, folder: str) -> str:
+    """base/read.py:305-309 (split-ratio subfolder, '.' -> '_')."""
+    path = folder + str(radio).replace(".", "_")
+    os.makedirs(path, exist_ok=True)
+    return path + "/"
+
+
+def save_results(folder: str, rest_12) -> None:
+    """base/read.py:312-316."""
+    os.makedirs(folder, exist_ok=True)
+    pair2file(os.path.join(folder, "alignment_results_12"), rest_12)
+    print("Results saved!")
+
+
 def dict2file(file: str, dic) -> None:
     if dic is None:
         return

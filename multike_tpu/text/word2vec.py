@@ -89,6 +89,75 @@ def generate_unlisted_word2vec(word2vec: Dict[str, np.ndarray],
     return word2vec
 
 
+def tokens2vec_add(id_tokens_dict: Dict, word2vec: Dict[str, np.ndarray],
+                   vector_dimension: int = 300,
+                   keep_unlist: bool = False) -> Dict:
+    """Sum-of-token-vectors lookup, l2-normalized; entries whose tokens are
+    all OOV are dropped unless keep_unlist (utils.py:201-217)."""
+    out = {}
+    for e_id, name in id_tokens_dict.items():
+        vec = np.zeros(vector_dimension, np.float32)
+        for word in name.split(" "):
+            if word in word2vec:
+                vec += word2vec[word]
+        if vec.sum() != 0:
+            vec = vec / np.linalg.norm(vec)
+        elif not keep_unlist:
+            continue
+        out[e_id] = vec
+    return out
+
+
+def tokens2vec_encoder(id_tokens_dict: Dict, word2vec: Dict[str, np.ndarray],
+                       vector_dimension: int = 300, tokens_max_len: int = 5,
+                       keep_unlist: bool = False) -> Dict:
+    """First-k-token stacked vectors per entry (utils.py:182-198)."""
+    out = {}
+    for v_id, tokens in id_tokens_dict.items():
+        words = tokens.split(" ")
+        vectors = np.zeros((tokens_max_len, vector_dimension), np.float32)
+        flag = False
+        for i in range(min(tokens_max_len, len(words))):
+            if words[i] in word2vec:
+                vectors[i] = word2vec[words[i]]
+                flag = True
+        if flag:
+            out[v_id] = vectors
+    if keep_unlist:
+        for v_id in id_tokens_dict:
+            if v_id not in out:
+                out[v_id] = np.zeros((tokens_max_len, vector_dimension),
+                                     np.float32)
+    return out
+
+
+def look_up_word2vec(id_tokens_dict: Dict, word2vec: Dict[str, np.ndarray],
+                     tokens2vec_mode: str = "add", keep_unlist: bool = False,
+                     vector_dimension: int = 300, tokens_max_len: int = 5):
+    """utils.py:175-179."""
+    if tokens2vec_mode == "add":
+        return tokens2vec_add(id_tokens_dict, word2vec, vector_dimension,
+                              keep_unlist)
+    return tokens2vec_encoder(id_tokens_dict, word2vec, vector_dimension,
+                              tokens_max_len, keep_unlist)
+
+
+def look_up_char2vec(id_tokens_dict: Dict,
+                     character_vectors: Dict[str, np.ndarray],
+                     vector_dimension: int = 300) -> Dict:
+    """Sum-of-char-vectors lookup, normalized (utils.py:220-230)."""
+    out = {}
+    for e_id, ln in id_tokens_dict.items():
+        vec = np.zeros(vector_dimension, np.float32)
+        for ch in ln:
+            if ch in character_vectors:
+                vec += character_vectors[ch]
+        if vec.sum() != 0:
+            vec = vec / np.linalg.norm(vec)
+        out[e_id] = vec
+    return out
+
+
 def literal_token_matrix(literal_list: List[str], word2vec: Dict[str, np.ndarray],
                          tokens_max_len: int = 5,
                          dim: int = 300) -> np.ndarray:

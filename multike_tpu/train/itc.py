@@ -39,8 +39,10 @@ class MultiKE_ITC(MultiKETrainer):
                                         + pam.sup_attribute_alignment_triples2)
         entity_list = kgs.kg1.entities_list + kgs.kg2.entities_list
 
-        vw.test(self, embed_choice="nv")
-        for i in range(1, cfg.max_epoch + 1):
+        start_epoch = self.try_resume("itc")
+        if start_epoch == 0:
+            vw.test(self, embed_choice="nv")
+        for i in range(start_epoch + 1, cfg.max_epoch + 1):
             self._log(f"epoch {i}:")
             self.train_relation_view_1epo(i)
             self.train_cross_kg_entity_inference_relation_view_1epo(
@@ -81,7 +83,7 @@ class MultiKE_ITC(MultiKETrainer):
                 self.generate_neighbors()
 
             if cfg.checkpoint_freq and i % cfg.checkpoint_freq == 0:
-                self.save_checkpoint(i)
+                self.save_checkpoint_tag("itc", i)
 
         if cfg.is_save:
             self.save()
@@ -92,10 +94,3 @@ class MultiKE_ITC(MultiKETrainer):
             "final": vw.test(self, embed_choice="final"),
         }
         return results
-
-    def save_checkpoint(self, epoch: int):
-        from multike_tpu.persistence import save_checkpoint
-
-        if self.cfg.checkpoint_dir:
-            save_checkpoint(f"{self.cfg.checkpoint_dir}/itc.npz", self.params,
-                            self.opt_states, self.key, epoch)

@@ -29,9 +29,11 @@ class MultiKE_SSL(MultiKETrainer):
                                         + pam.sup_attribute_alignment_triples2)
         entity_list = kgs.kg1.entities_list + kgs.kg2.entities_list
 
-        vw.valid(self, embed_choice="nv")
-        vw.valid(self, embed_choice="avg")
-        for i in range(1, cfg.max_epoch + 1):
+        start_epoch = self.try_resume("ssl")
+        if start_epoch == 0:
+            vw.valid(self, embed_choice="nv")
+            vw.valid(self, embed_choice="avg")
+        for i in range(start_epoch + 1, cfg.max_epoch + 1):
             self._log(f"epoch {i}:")
             self.train_relation_view_1epo(i)
             self.train_cross_kg_entity_inference_relation_view_1epo(
@@ -71,7 +73,7 @@ class MultiKE_SSL(MultiKETrainer):
                 self.generate_neighbors()
 
             if cfg.checkpoint_freq and i % cfg.checkpoint_freq == 0:
-                self.save_checkpoint(i)
+                self.save_checkpoint_tag("ssl", i)
 
         for i in range(1, cfg.shared_learning_max_epoch + 1):
             self.train_shared_space_mapping_1epo(i, entity_list)
@@ -89,10 +91,3 @@ class MultiKE_SSL(MultiKETrainer):
             "final": vw.test(self, embed_choice="final"),
         }
         return results
-
-    def save_checkpoint(self, epoch: int):
-        from multike_tpu.persistence import save_checkpoint
-
-        if self.cfg.checkpoint_dir:
-            save_checkpoint(f"{self.cfg.checkpoint_dir}/ssl.npz", self.params,
-                            self.opt_states, self.key, epoch)

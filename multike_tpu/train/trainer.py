@@ -324,6 +324,38 @@ class MultiKETrainer:
             return np.asarray(self.params["attr"])
         raise KeyError(which)
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume (beyond the reference's final-save-only)
+    # ------------------------------------------------------------------
+    def checkpoint_path(self, tag: str) -> str:
+        import os
+
+        return os.path.join(self.cfg.checkpoint_dir, f"{tag}.npz")
+
+    def save_checkpoint_tag(self, tag: str, epoch: int):
+        from multike_tpu.persistence import save_checkpoint
+
+        if self.cfg.checkpoint_dir:
+            save_checkpoint(self.checkpoint_path(tag), self.params,
+                            self.opt_states, self.key, epoch)
+
+    def try_resume(self, tag: str) -> int:
+        """Restore params/opt-states/key from a checkpoint if present;
+        returns the epoch to resume *after* (0 = fresh start)."""
+        import os
+
+        from multike_tpu.persistence import load_checkpoint
+
+        if not self.cfg.checkpoint_dir:
+            return 0
+        path = self.checkpoint_path(tag)
+        if not os.path.exists(path):
+            return 0
+        self.params, self.opt_states, self.key, epoch, _ = load_checkpoint(
+            path, self.params, self.opt_states, self.key)
+        self._log(f"resumed from {path} at epoch {epoch}")
+        return epoch
+
     def save(self, out_folder: Optional[str] = None):
         from multike_tpu.persistence import generate_out_folder, save_embeddings
 
