@@ -1,0 +1,67 @@
+"""Eval-engine micro-benchmark: blockwise rank-count at DWY100K test scale.
+
+The reference materializes the full similarity matrix and argsorts every row
+across an mp.Pool (base/alignment.py:37-56) — at 70K x 70K that is ~19.6 GB
+plus 70K argsorts. This engine computes exact ranks via blockwise
+count-greater with no matrix and no sort.
+
+Usage: python benchmarks/eval_bench.py [--n1 35000 --n2 70000 --dim 75]
+Prints one human-readable line per phase (stderr) and a final JSON line.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n1", type=int, default=35_000)
+    ap.add_argument("--n2", type=int, default=70_000)
+    ap.add_argument("--dim", type=int, default=75)
+    ap.add_argument("--cpu", action="store_true")
+    ns = ap.parse_args()
+
+    if ns.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from multike_tpu.eval.alignment import rank_and_align
+
+    log(f"backend: {jax.default_backend()}")
+    rng = np.random.RandomState(0)
+    e1 = rng.randn(ns.n1, ns.dim).astype(np.float32)
+    e2 = rng.randn(ns.n2, ns.dim).astype(np.float32)
+    e2[:ns.n1] += 2.0 * e1
+
+    t = time.perf_counter()
+    ranks, best = rank_and_align(e1, e2)
+    warm = time.perf_counter() - t
+    log(f"compile+run: {warm:.2f}s")
+    t = time.perf_counter()
+    ranks, best = rank_and_align(e1, e2)
+    hot = time.perf_counter() - t
+    hits1 = float(np.mean(ranks == 0))
+    rows_per_s = ns.n1 / hot
+    log(f"hot: {hot:.3f}s  ({rows_per_s:,.0f} rows/s, hits@1={hits1:.3f})")
+    print(json.dumps({
+        "metric": "eval_rank_rows_per_s",
+        "value": round(rows_per_s, 1),
+        "unit": f"rows/s @ n2={ns.n2}, d={ns.dim}",
+        "seconds_hot": round(hot, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,8 @@ class Config:
     # Checkpointing
     checkpoint_dir: str = ""
     checkpoint_freq: int = 0  # epochs; 0 = only final save
+    # Structured metrics (jsonl); empty = in-memory only
+    metrics_log_path: str = ""
     # RNG
     seed: int = 2019
     # How many steps of one loss stream are fused into a single jitted

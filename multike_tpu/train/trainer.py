@@ -28,14 +28,23 @@ from multike_tpu.align.predicates import PredicateAlignModel
 
 def _topk_ids(embeds: jnp.ndarray, k: int, row_block: int = 1024) -> np.ndarray:
     """Row-blocked top-k neighbor indices by inner-product similarity
-    (replaces the mp.Pool of base/batch.py:119-150)."""
+    (replaces the mp.Pool of base/batch.py:119-150).
+
+    On TPU the candidate search uses ``lax.approx_max_k`` (the TPU-optimized
+    partial-reduce, recall ~0.95) — the reference's top-2% cut is itself a
+    sampling heuristic, so approximate membership is fine and much faster at
+    k ~ 2000. CPU gets exact top_k."""
     U = embeds.shape[0]
     k = min(k, U)
+    use_approx = jax.default_backend() == "tpu" and k < U
 
     @jax.jit
     def block_topk(blk, all_e):
         s = jnp.dot(blk, all_e.T, preferred_element_type=jnp.float32)
-        _, idx = jax.lax.top_k(s, k)
+        if use_approx:
+            _, idx = jax.lax.approx_max_k(s, k, recall_target=0.95)
+        else:
+            _, idx = jax.lax.top_k(s, k)
         return idx
 
     out = np.zeros((U, k), np.int64)
@@ -80,6 +89,9 @@ class MultiKETrainer:
         self.neighbors: Optional[NeighborState] = None
 
         self._epoch_fns: Dict = {}
+        from multike_tpu.utils.metrics import MetricsLog
+
+        self.metrics = MetricsLog(cfg.metrics_log_path or None)
 
     # ------------------------------------------------------------------
     # capacity bucketing: predicate-alignment refresh changes the sup-triple
@@ -135,6 +147,16 @@ class MultiKETrainer:
             self._epoch_fns[key] = fn
         return self._epoch_fns[key]
 
+
+    def _finish_epoch(self, stream, epoch, loss_sum, trained, start, msg):
+        seconds = time.time() - start
+        loss = float(loss_sum) / max(trained, 1)
+        self.metrics.record(stream=stream, epoch=epoch, loss=loss,
+                            seconds=seconds, trained=trained,
+                            triples_per_s=(trained / seconds) if seconds > 0 else None)
+        self._log(msg.format(epoch, loss, seconds))
+        return loss
+
     def _log(self, msg: str):
         if self.verbose:
             print(msg)
@@ -154,10 +176,9 @@ class MultiKETrainer:
             args = args + (self.neighbors,)
         self.params, self.opt_states["rel_view"], self.key, loss = epoch_fn(
             self.params, self.opt_states["rel_view"], self.key, *args)
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of rel. view, avg. loss: {:.4f}, time: {:.4f}s"
-                  .format(epoch, loss, time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "rel_view", epoch, loss, trained, start,
+            "epoch {} of rel. view, avg. loss: {:.4f}, time: {:.4f}s")
 
     def _weighted_attr_arrays(self):
         pam = self.predicate_align_model
@@ -180,10 +201,9 @@ class MultiKETrainer:
             self.params, self.opt_states["attr_view"], self.key,
             self.constants, jnp.asarray(t1), jnp.asarray(f1),
             jnp.asarray(t2), jnp.asarray(f2))
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of att. view, avg. loss: {:.4f}, time: {:.4f}s"
-                  .format(epoch, loss, time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "attr_view", epoch, loss, trained, start,
+            "epoch {} of att. view, avg. loss: {:.4f}, time: {:.4f}s")
 
     # ------------------------------------------------------------------
     # cross-kg streams
@@ -197,10 +217,10 @@ class MultiKETrainer:
         epoch_fn, steps, trained = self._get_epoch_fn("ckge_rel", len(sup_triples))
         self.params, self.opt_states["ckge_rel"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckge_rel"], self.key, arr)
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of cross-kg entity inference in rel. view, avg. loss:"
-                  " {:.4f}, time: {:.4f}s".format(epoch, loss, time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "ckge_rel", epoch, loss, trained, start,
+            "epoch {} of cross-kg entity inference in rel. view, avg. loss:"
+            " {:.4f}, time: {:.4f}s")
 
     def train_cross_kg_relation_inference_1epo(self, epoch: int, sup_triples):
         if len(sup_triples) == 0:
@@ -216,11 +236,10 @@ class MultiKETrainer:
             self.params, self.opt_states["ckgp_rel"], self.key,
             jnp.asarray(self._pad_wrap(ids, cap)),
             jnp.asarray(self._pad_wrap(ws, cap)))
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of cross-kg relation inference in rel. view, avg. "
-                  "loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
-                                                       time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "ckgp_rel", epoch, loss, trained, start,
+            "epoch {} of cross-kg relation inference in rel. view, avg. "
+            "loss: {:.4f}, time: {:.4f}s")
 
     def train_cross_kg_entity_inference_attribute_view_1epo(
             self, epoch: int, sup_triples):
@@ -232,11 +251,10 @@ class MultiKETrainer:
         self.params, self.opt_states["ckge_attr"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckge_attr"], self.key,
             self.constants, arr)
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of cross-kg entity inference in attr. view, avg. "
-                  "loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
-                                                       time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "ckge_attr", epoch, loss, trained, start,
+            "epoch {} of cross-kg entity inference in attr. view, avg. "
+            "loss: {:.4f}, time: {:.4f}s")
 
     def train_cross_kg_attribute_inference_1epo(self, epoch: int, sup_triples):
         if len(sup_triples) == 0:
@@ -252,11 +270,10 @@ class MultiKETrainer:
             self.params, self.opt_states["ckga_attr"], self.key,
             self.constants, jnp.asarray(self._pad_wrap(ids, cap)),
             jnp.asarray(self._pad_wrap(ws, cap)))
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of cross-kg attribute inference in attr. view, avg."
-                  " loss: {:.4f}, time: {:.4f}s".format(epoch, loss,
-                                                        time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "ckga_attr", epoch, loss, trained, start,
+            "epoch {} of cross-kg attribute inference in attr. view, avg."
+            " loss: {:.4f}, time: {:.4f}s")
 
     # ------------------------------------------------------------------
     # combination streams
@@ -268,10 +285,10 @@ class MultiKETrainer:
         self.params, self.opt_states["common_space"], self.key, loss = epoch_fn(
             self.params, self.opt_states["common_space"], self.key,
             self.constants, arr)
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of common space learning, avg. loss: {:.4f}, "
-                  "time: {:.4f}s".format(epoch, loss, time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "common_space", epoch, loss, trained, start,
+            "epoch {} of common space learning, avg. loss: {:.4f}, "
+            "time: {:.4f}s")
 
     def train_shared_space_mapping_1epo(self, epoch: int, entities: Sequence[int]):
         start = time.time()
@@ -280,10 +297,10 @@ class MultiKETrainer:
         self.params, self.opt_states["space_mapping"], self.key, loss = epoch_fn(
             self.params, self.opt_states["space_mapping"], self.key,
             self.constants, arr)
-        loss = float(loss) / max(trained, 1)
-        self._log("epoch {} of shared space learning, avg. loss: {:.4f}, "
-                  "time: {:.4f}s".format(epoch, loss, time.time() - start))
-        return loss
+        return self._finish_epoch(
+            "space_mapping", epoch, loss, trained, start,
+            "epoch {} of shared space learning, avg. loss: {:.4f}, "
+            "time: {:.4f}s")
 
     # ------------------------------------------------------------------
     # neighbor refresh (truncated negative sampling)
