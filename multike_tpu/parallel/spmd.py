@@ -48,9 +48,22 @@ def pad_rows(table: jnp.ndarray, multiple: int) -> jnp.ndarray:
 def make_spmd_train_step(cfg: Config, mesh, entities_num: int):
     """Returns (step_fn, opt_states_init). step_fn signature:
     (params, opt_states, key, constants, rel_pos, attr_pos, attr_w, cs_ents)
-    -> (params, opt_states, key, metrics)."""
+    -> (params, opt_states, key, metrics).
+
+    When the mesh has a non-trivial 'tp' axis, relation-view lookups into the
+    row-sharded tables go through the shard_map masked-gather + psum
+    primitive (parallel/tp_lookup.py) so only O(B*d) bytes cross ICI per
+    gather instead of a whole-table all-gather; its autodiff transpose keeps
+    gradients sharded."""
     streams_used = ("rel_view", "attr_view", "common_space")
     opts = {s: stream_optimizer(cfg, s) for s in streams_used}
+    tp = mesh.shape.get("tp", 1)
+    use_tp = tp > 1
+    if use_tp:
+        from multike_tpu.parallel.tp_lookup import make_tp_lookup
+
+        tp_gather_norm = make_tp_lookup(mesh, "tp", normalize=True,
+                                        batch_axis="dp")
 
     def opt_init(params):
         return {s: opts[s].init({k: params[k] for k in STREAM_VARS[s]})
@@ -83,13 +96,15 @@ def make_spmd_train_step(cfg: Config, mesh, entities_num: int):
         neg = sample_negatives(k_neg, rel_pos, lo, hi, neg_num)
 
         def rel_loss(m):
+            rv, rl = m["rv_ent"], m["rel"]
+            if use_tp and rv.shape[0] % tp == 0 and rl.shape[0] % tp == 0:
+                lk = tp_gather_norm
+            else:
+                lk = lookup_norm
             return relation_logistic_loss(
-                lookup_norm(m["rv_ent"], rel_pos[:, 0]),
-                lookup_norm(m["rel"], rel_pos[:, 1]),
-                lookup_norm(m["rv_ent"], rel_pos[:, 2]),
-                lookup_norm(m["rv_ent"], neg[:, 0]),
-                lookup_norm(m["rel"], neg[:, 1]),
-                lookup_norm(m["rv_ent"], neg[:, 2]))
+                lk(rv, rel_pos[:, 0]), lk(rl, rel_pos[:, 1]),
+                lk(rv, rel_pos[:, 2]), lk(rv, neg[:, 0]),
+                lk(rl, neg[:, 1]), lk(rv, neg[:, 2]))
 
         def attr_loss(m):
             phs = lookup_norm(m["av_ent"], attr_pos[:, 0])
@@ -127,7 +142,7 @@ def make_spmd_train_step(cfg: Config, mesh, entities_num: int):
     return step_fn, opt_init
 
 
-def dryrun(n_devices: int, dim: int = 8, entities: int = 64, relations: int = 7,
+def dryrun(n_devices: int, dim: int = 8, entities: int = 64, relations: int = 8,
            attributes: int = 5, literals: int = 16, batch: int = 32) -> Dict:
     """Compile + execute one SPMD step on tiny shapes over an n-device mesh.
 
