@@ -22,6 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
 from multike_tpu.config import Config
 from multike_tpu.losses import (alignment_loss, positive_logistic_from_scores,
@@ -142,6 +143,27 @@ def make_spmd_train_step(cfg: Config, mesh, entities_num: int):
     return step_fn, opt_init
 
 
+def make_sharded_rank(mesh):
+    """Evaluation sharding: left-entity rows split over the whole mesh, right
+    table replicated; each shard counts its rows' beats locally — the
+    distributed half of the eval engine (SURVEY.md §2.3 row 3: per-shard
+    partial ranks, no cross-device merge needed because rows are
+    independent)."""
+    rows = NamedSharding(mesh, PSpec(("dp", "tp")))
+    rep = NamedSharding(mesh, PSpec())
+
+    @functools.partial(jax.jit, in_shardings=(rows, rep, rows),
+                       out_shardings=(rows, rows))
+    def ranker(e1, e2, gold_idx):
+        s = jnp.einsum("id,jd->ij", e1, e2, precision=jax.lax.Precision.HIGHEST)
+        gold = jnp.take_along_axis(s, gold_idx[:, None], axis=1)[:, 0]
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        beats = jnp.logical_and(s > gold[:, None], cols != gold_idx[:, None])
+        return jnp.sum(beats.astype(jnp.int32), axis=1), jnp.argmax(s, axis=1)
+
+    return ranker
+
+
 def dryrun(n_devices: int, dim: int = 8, entities: int = 64, relations: int = 8,
            attributes: int = 5, literals: int = 16, batch: int = 32) -> Dict:
     """Compile + execute one SPMD step on tiny shapes over an n-device mesh.
@@ -175,4 +197,17 @@ def dryrun(n_devices: int, dim: int = 8, entities: int = 64, relations: int = 8,
     metrics = {k: float(v) for k, v in metrics.items()}
     for v in metrics.values():
         assert np.isfinite(v), metrics
+
+    # sharded eval step: ranks computed with rows split across the mesh
+    ranker = make_sharded_rank(mesh)
+    e1 = jnp.asarray(rng.randn(batch, dim), jnp.float32)
+    e2 = jnp.concatenate([e1, jnp.asarray(rng.randn(batch, dim), jnp.float32)])
+    gold_idx = jnp.arange(batch, dtype=jnp.int32)
+    ranks, best = ranker(e1, e2, gold_idx)
+    sdense = np.asarray(e1) @ np.asarray(e2).T
+    want = np.array([np.sum((sdense[i] > sdense[i, i])
+                            & (np.arange(2 * batch) != i))
+                     for i in range(batch)])
+    assert np.array_equal(np.asarray(ranks), want), "sharded eval mismatch"
+    metrics["eval_rows"] = float(len(ranks))
     return metrics

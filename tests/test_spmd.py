@@ -13,7 +13,7 @@ def test_dryrun_multichip_8():
     n = len(jax.devices())
     assert n == 8, f"conftest should provide 8 virtual devices, got {n}"
     metrics = dryrun(8)
-    assert set(metrics) == {"rel_loss", "attr_loss", "cs_loss"}
+    assert set(metrics) == {"rel_loss", "attr_loss", "cs_loss", "eval_rows"}
 
 
 def test_dryrun_single_device_equivalence():
@@ -22,7 +22,7 @@ def test_dryrun_single_device_equivalence():
 
     m1 = dryrun(1)
     m8 = dryrun(8)
-    for k in m1:
+    for k in ("rel_loss", "attr_loss", "cs_loss"):
         assert np.isclose(m1[k], m8[k], rtol=1e-3), (k, m1[k], m8[k])
 
 
