@@ -276,6 +276,17 @@ class KGs:
         return r1, r2
 
 
+def read_kgs_from_files(kg1_relation_triples, kg2_relation_triples,
+                        kg1_attribute_triples, kg2_attribute_triples,
+                        train_links, valid_links, test_links,
+                        mode: str) -> KGs:
+    """base/kgs.py:92-97: assemble KGs from in-memory URI triples."""
+    kg1 = KG(kg1_relation_triples, kg1_attribute_triples)
+    kg2 = KG(kg2_relation_triples, kg2_attribute_triples)
+    return KGs(kg1, kg2, train_links, valid_links, test_links=test_links,
+               mode=mode)
+
+
 def read_kgs_from_folder(training_data_folder: str, division: str, mode: str,
                          ordered: bool) -> KGs:
     """base/kgs.py:76-89."""

@@ -62,6 +62,15 @@ def csls_sim(sim_mat: np.ndarray, k: int) -> np.ndarray:
     return (out.T - nearest2).astype(np.float32)
 
 
+def csls_sim_multi_threads(sim_mat: np.ndarray, k: int,
+                           nums_threads: int = 1) -> np.ndarray:
+    """API parity with base/similarity.py:84-100 (host-pool row top-k means).
+    The vectorized computation needs no thread pool; the argument is
+    accepted for signature compatibility. NB the reference helper returns
+    only the row means — same here."""
+    return calculate_nearest_k(sim_mat, k)
+
+
 def csls_penalties_blockwise(e1: jnp.ndarray, e2: jnp.ndarray, k: int,
                              col_block: int = 8192):
     """(r1, r2): row/col mean-top-k neighborhood terms computed blockwise on
