@@ -53,6 +53,10 @@ class Config:
     # --- negative sampling (args.json:25-28) ---
     neg_triple_num: int = 10
     neg_sampling: str = "truncated"
+    # On-device exact rejection of true triples via a Bloom filter: number of
+    # resample rounds (0 = accept rare false negatives; the reference's host
+    # rejection gives up after 10 tries, base/batch.py:103-105)
+    neg_rejection_tries: int = 0
     truncated_epsilon: float = 0.98
     truncated_freq: int = 20
 

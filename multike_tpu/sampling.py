@@ -28,6 +28,75 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.tree_util.register_pytree_node_class
+class TripleFilter:
+    """Bloom filter over the true-triple set, for exact-rejection negative
+    sampling on device (SURVEY.md §7 'host-precomputed bitmask' option).
+
+    Two multiply-xor hashes into an m-bit mask: a positive test is
+    'possibly a true triple' (false-positive rate ~(n/m)^2 — harmless extra
+    rejections), a negative test is 'definitely not a true triple', so no
+    true triple ever survives as a negative — stronger than the reference's
+    10-retry rejection which eventually gives up (base/batch.py:103-105).
+
+    ``log2m`` is pytree aux data (static under jit)."""
+
+    def __init__(self, bits: jnp.ndarray, log2m: int):
+        self.bits = bits        # (m/32,) uint32
+        self.log2m = log2m
+
+    def tree_flatten(self):
+        return (self.bits,), self.log2m
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+_H1 = np.uint32(0x9E3779B1)
+_H2 = np.uint32(0x85EBCA77)
+_HA = np.uint32(0xC2B2AE35)
+_HB = np.uint32(0x27D4EB2F)
+
+
+def _hash2_np(h, r, t, log2m):
+    h = h.astype(np.uint32)
+    r = r.astype(np.uint32)
+    t = t.astype(np.uint32)
+    x = (h * _H1) ^ (r * _H2) ^ (t * _HA)
+    i1 = (x * _H1) >> np.uint32(32 - log2m)
+    i2 = (x * _HB + np.uint32(0x165667B1)) >> np.uint32(32 - log2m)
+    return i1, i2
+
+
+def build_triple_filter(triples: np.ndarray, log2m: int = 24) -> TripleFilter:
+    """triples: (n, 3) int array. m = 2^log2m bits (2 MB at 24)."""
+    m_words = (1 << log2m) // 32
+    bits = np.zeros(m_words, np.uint32)
+    if len(triples):
+        i1, i2 = _hash2_np(triples[:, 0], triples[:, 1], triples[:, 2], log2m)
+        for idx in (i1, i2):
+            np.bitwise_or.at(bits, idx // 32,
+                             np.uint32(1) << (idx % np.uint32(32)))
+    return TripleFilter(bits=jnp.asarray(bits), log2m=log2m)
+
+
+def _filter_contains(tfilter: TripleFilter, h, r, t):
+    log2m = tfilter.log2m
+    h = h.astype(jnp.uint32)
+    r = r.astype(jnp.uint32)
+    t = t.astype(jnp.uint32)
+    x = (h * _H1) ^ (r * _H2) ^ (t * _HA)
+    i1 = (x * _H1) >> np.uint32(32 - log2m)
+    i2 = (x * _HB + np.uint32(0x165667B1)) >> np.uint32(32 - log2m)
+
+    def bit(idx):
+        word = tfilter.bits[(idx // 32).astype(jnp.int32)]
+        return (word >> (idx % 32)) & 1
+
+    return (bit(i1) & bit(i2)) == 1
+
+
 class NeighborState(NamedTuple):
     """Truncated-sampling candidates: ``nbr[e, :cnt[e]]`` holds neighbor
     entity ids, valid only where ``has[e]``. ``cnt`` allows the two KGs'
@@ -52,13 +121,20 @@ def empty_neighbor_state(entities_num: int, k: int = 8) -> NeighborState:
 
 def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
                      neg_num: int,
-                     neighbors: Optional[NeighborState] = None) -> jnp.ndarray:
+                     neighbors: Optional[NeighborState] = None,
+                     tfilter: Optional[TripleFilter] = None,
+                     retries: int = 0) -> jnp.ndarray:
     """pos: (B, 3) int32 [h, r, t]; lo/hi: (B,) per-row entity-id range of the
     owning KG (half-open). Returns (B * neg_num, 3) with reference layout —
     all ``neg_num`` corruptions of positive i occupy rows
-    [i*neg_num, (i+1)*neg_num)."""
+    [i*neg_num, (i+1)*neg_num).
+
+    With ``tfilter`` + ``retries`` > 0, candidates testing positive against
+    the true-triple Bloom filter are resampled up to ``retries`` times
+    (exact-rejection mode, cf. base/batch.py:86-116; the reference gives up
+    after 10 retries and accepts a possibly-true triple — here a still-
+    positive candidate after the last retry is likewise accepted)."""
     B = pos.shape[0]
-    k_side, k_ent, k_pick = jax.random.split(key, 3)
     h = jnp.repeat(pos[:, 0], neg_num)
     r = jnp.repeat(pos[:, 1], neg_num)
     t = jnp.repeat(pos[:, 2], neg_num)
@@ -66,16 +142,28 @@ def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     hi_r = jnp.repeat(hi, neg_num)
     n = B * neg_num
 
-    corrupt_head = jax.random.bernoulli(k_side, 0.5, (n,))
-    uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
+    def draw(k, corrupt_head):
+        k_ent, k_pick = jax.random.split(k)
+        uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
+        if neighbors is not None:
+            target = jnp.where(corrupt_head, h, t)
+            col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[target]
+            from_nbr = neighbors.nbr[target, col]
+            return jnp.where(neighbors.has[target], from_nbr, uniform)
+        return uniform
 
-    if neighbors is not None:
-        target = jnp.where(corrupt_head, h, t)
-        col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[target]
-        from_nbr = neighbors.nbr[target, col]
-        cand = jnp.where(neighbors.has[target], from_nbr, uniform)
-    else:
-        cand = uniform
+    key, k_side, k0 = jax.random.split(key, 3)
+    corrupt_head = jax.random.bernoulli(k_side, 0.5, (n,))
+    cand = draw(k0, corrupt_head)
+
+    if tfilter is not None and retries > 0:
+        for _ in range(retries):
+            neg_h = jnp.where(corrupt_head, cand, h)
+            neg_t = jnp.where(corrupt_head, t, cand)
+            is_true = _filter_contains(tfilter, neg_h, r, neg_t)
+            key, k_i = jax.random.split(key)
+            redraw = draw(k_i, corrupt_head)
+            cand = jnp.where(is_true, redraw, cand)
 
     neg_h = jnp.where(corrupt_head, cand, h)
     neg_t = jnp.where(corrupt_head, t, cand)

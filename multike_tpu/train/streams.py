@@ -136,10 +136,12 @@ def proportional_sizes(n1: int, n2: int, batch_size: int) -> Tuple[int, int]:
 
 def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                          ranges: Tuple[Tuple[int, int], Tuple[int, int]],
-                         with_neighbors: bool = True):
+                         with_neighbors: bool = True, tfilter=None):
     """``with_neighbors=False`` compiles the pre-refresh variant whose
     sampling skips the neighbor-table gathers entirely (leaner executable;
-    also avoids a degenerate-empty-table XLA pathology)."""
+    also avoids a degenerate-empty-table XLA pathology). ``tfilter`` (a
+    sampling.TripleFilter) enables exact-rejection negative sampling with
+    ``cfg.neg_rejection_tries`` resample rounds."""
     steps = int(np.ceil((n1 + n2) / cfg.batch_size))
     bs1, bs2 = proportional_sizes(n1, n2, cfg.batch_size)
     (lo1, hi1), (lo2, hi2) = ranges
@@ -172,7 +174,9 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
             i1, i2, mm1, mm2, sk = xs
             pos = jnp.concatenate([triples1[i1], triples2[i2]])
             pos_mask = jnp.concatenate([mm1, mm2])
-            neg = sample_negatives(sk, pos, lo_vec, hi_vec, neg_num, nbr)
+            neg = sample_negatives(sk, pos, lo_vec, hi_vec, neg_num, nbr,
+                                   tfilter=tfilter,
+                                   retries=cfg.neg_rejection_tries)
             neg_mask = jnp.repeat(pos_mask, neg_num)
             params, opt_state, loss = update(params, opt_state,
                                              pos, pos_mask, neg, neg_mask)

@@ -88,6 +88,16 @@ class MultiKETrainer:
         # (leaner compile; avoids a degenerate-table XLA pathology).
         self.neighbors: Optional[NeighborState] = None
 
+        # exact-rejection Bloom filter over both KGs' local relation triples
+        # (id spaces are disjoint, so one filter serves both)
+        self.triple_filter = None
+        if cfg.neg_rejection_tries > 0:
+            from multike_tpu.sampling import build_triple_filter
+
+            all_local = np.concatenate([
+                np.asarray(self.rel_triples1), np.asarray(self.rel_triples2)])
+            self.triple_filter = build_triple_filter(all_local)
+
         self._epoch_fns: Dict = {}
         from multike_tpu.utils.metrics import MetricsLog
 
@@ -127,7 +137,8 @@ class MultiKETrainer:
             if kind == "rel_view":
                 n1, n2, with_nbr = shape_key
                 fn = streams.build_rel_view_epoch(cfg, n1, n2, self.ranges,
-                                                  with_neighbors=with_nbr)
+                                                  with_neighbors=with_nbr,
+                                                  tfilter=self.triple_filter)
             elif kind == "attr_view":
                 fn = streams.build_attr_view_epoch(cfg, *shape_key)
             elif kind == "ckge_rel":
