@@ -23,6 +23,17 @@ class MultiKE_ITC(MultiKETrainer):
     SURVEY.md §1)."""
 
     def run(self):
+        """Wraps the epoch loop so an interrupt/preemption still leaves a
+        resumable checkpoint (beyond the reference's final-save-only)."""
+        try:
+            return self._run()
+        except BaseException:
+            if self.cfg.checkpoint_dir:
+                self.save_checkpoint_tag("itc_interrupt", -1)
+                self._log("interrupted: wrote itc_interrupt checkpoint")
+            raise
+
+    def _run(self):
         cfg = self.cfg
         kgs = self.kgs
         flag1 = flag2 = -1

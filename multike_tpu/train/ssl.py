@@ -15,6 +15,17 @@ class MultiKE_SSL(MultiKETrainer):
     """SSL == class MultiKE_Late in the reference."""
 
     def run(self):
+        """Wraps the epoch loop so an interrupt/preemption still leaves a
+        resumable checkpoint (beyond the reference's final-save-only)."""
+        try:
+            return self._run()
+        except BaseException:
+            if self.cfg.checkpoint_dir:
+                self.save_checkpoint_tag("ssl_interrupt", -1)
+                self._log("interrupted: wrote ssl_interrupt checkpoint")
+            raise
+
+    def _run(self):
         cfg = self.cfg
         kgs = self.kgs
 

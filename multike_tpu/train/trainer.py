@@ -58,6 +58,8 @@ class MultiKETrainer:
     def __init__(self, cfg: Config, data: DataModel,
                  predicate_align_model: PredicateAlignModel,
                  verbose: bool = True):
+        assert cfg.alignment_module == "swapping", \
+            "cross-KG inference requires swapping mode (MultiKE_model.py:68-69)"
         self.cfg = cfg
         self.data = data
         self.kgs = data.kgs
