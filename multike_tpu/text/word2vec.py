@@ -16,6 +16,14 @@ import numpy as np
 
 
 def read_word2vec(file_path: str, vector_dimension: int = 300) -> Dict[str, np.ndarray]:
+    """Reference semantics (utils.py:94-105). Uses the native C++ parser when
+    available — the 1M x 300 text scan is a cold-start hot spot (SURVEY §3.1)
+    that costs minutes in pure Python."""
+    from multike_tpu.utils.native import read_word2vec_native
+
+    native = read_word2vec_native(file_path, vector_dimension)
+    if native is not None:
+        return native
     word2vec: Dict[str, np.ndarray] = {}
     with open(file_path, "r", encoding="utf-8") as f:
         for line in f:

@@ -41,6 +41,19 @@ def _find_lib():
                     ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                     ctypes.POINTER(ctypes.c_double), ctypes.c_int,
                 ]
+                if hasattr(lib, "vec_scan"):
+                    lib.vec_scan.restype = ctypes.c_int
+                    lib.vec_scan.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_longlong),
+                        ctypes.POINTER(ctypes.c_longlong),
+                    ]
+                    lib.vec_parse.restype = ctypes.c_int
+                    lib.vec_parse.argtypes = [
+                        ctypes.c_char_p, ctypes.c_int,
+                        ctypes.POINTER(ctypes.c_float), ctypes.c_char_p,
+                        ctypes.c_longlong, ctypes.c_longlong,
+                    ]
                 _LIB = lib
                 return _LIB
             except OSError:
@@ -118,6 +131,42 @@ def levenshtein_ratio(a: str, b: str) -> float:
         return _L.ratio(a, b)
     except ImportError:
         return _lev_ratio_py(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Fast .vec word-embedding parsing
+# ---------------------------------------------------------------------------
+
+def read_word2vec_native(file_path: str, vector_dimension: int = 300):
+    """C++ fast path for the reference's word2vec scan (utils.py:94-105):
+    returns {word: float32 vector} for lines with exactly dim+1 fields, or
+    None when the native library is unavailable."""
+    import numpy as np
+
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "vec_scan"):
+        return None
+    n = ctypes.c_longlong()
+    wb = ctypes.c_longlong()
+    path_b = file_path.encode("utf-8")
+    if lib.vec_scan(path_b, vector_dimension, ctypes.byref(n),
+                    ctypes.byref(wb)) != 0:
+        return None
+    n_v, wb_v = n.value, wb.value
+    if n_v == 0:
+        return {}
+    mat = np.empty((n_v, vector_dimension), np.float32)
+    words_buf = ctypes.create_string_buffer(wb_v)
+    rc = lib.vec_parse(path_b, vector_dimension,
+                       mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       words_buf, n_v, wb_v)
+    if rc != 0:
+        return None
+    words = bytes(words_buf.raw[:wb_v]).decode("utf-8").split("\n")[:-1]
+    if len(words) != n_v:
+        return None
+    # later duplicates win, matching the Python dict-update order
+    return {w: mat[i] for i, w in enumerate(words)}
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,103 @@ double lev_ratio(const std::vector<uint32_t>& a, const std::vector<uint32_t>& b,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Fast fastText-style .vec parser.
+//
+// The reference scans the 1M x 300 word2vec text file line-by-line in Python
+// (utils.py:94-105) — minutes of float parsing. These two entry points do a
+// strtof sweep: vec_scan counts conforming lines (exactly dim+1 space-
+// separated fields, like the reference's filter) and the bytes needed for
+// the word column; vec_parse fills caller-allocated buffers (row-major
+// float32 matrix + '\n'-joined words).
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <cstdlib>
+
+namespace {
+
+struct VecLine {
+  const char* word_begin;
+  size_t word_len;
+  bool ok;
+};
+
+// Parses one line; on success writes dim floats into out (if not null).
+VecLine parse_vec_line(char* line, int dim, float* out) {
+  VecLine r{nullptr, 0, false};
+  char* p = line;
+  while (*p == ' ') ++p;
+  r.word_begin = p;
+  while (*p && *p != ' ') ++p;
+  r.word_len = static_cast<size_t>(p - r.word_begin);
+  if (r.word_len == 0) return r;
+  int count = 0;
+  while (*p) {
+    while (*p == ' ') ++p;
+    if (*p == '\0' || *p == '\n' || *p == '\r') break;
+    char* end = nullptr;
+    float v = strtof(p, &end);
+    if (end == p) return r;  // not a float => malformed line
+    if (count < dim && out != nullptr) out[count] = v;
+    ++count;
+    p = end;
+  }
+  r.ok = (count == dim);
+  return r;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Returns 0 on success. n_out/word_bytes_out: number of conforming lines and
+// total bytes of their words incl. one '\n' separator each.
+int vec_scan(const char* path, int dim, long long* n_out,
+             long long* word_bytes_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  long long n = 0, wb = 0;
+  size_t cap = 1 << 20;
+  char* line = static_cast<char*>(malloc(cap));
+  ssize_t len;
+  while ((len = getline(&line, &cap, f)) >= 0) {
+    VecLine r = parse_vec_line(line, dim, nullptr);
+    if (r.ok) {
+      ++n;
+      wb += static_cast<long long>(r.word_len) + 1;
+    }
+  }
+  free(line);
+  fclose(f);
+  *n_out = n;
+  *word_bytes_out = wb;
+  return 0;
+}
+
+// mat: (n, dim) float32 row-major; words: word_bytes chars, '\n'-joined.
+int vec_parse(const char* path, int dim, float* mat, char* words,
+              long long n, long long word_bytes) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  long long row = 0;
+  long long wpos = 0;
+  size_t cap = 1 << 20;
+  char* line = static_cast<char*>(malloc(cap));
+  ssize_t len;
+  while ((len = getline(&line, &cap, f)) >= 0 && row < n) {
+    VecLine r = parse_vec_line(line, dim, mat + row * dim);
+    if (r.ok) {
+      if (wpos + static_cast<long long>(r.word_len) + 1 > word_bytes) break;
+      for (size_t i = 0; i < r.word_len; ++i) words[wpos++] = r.word_begin[i];
+      words[wpos++] = '\n';
+      ++row;
+    }
+  }
+  free(line);
+  fclose(f);
+  return (row == n && wpos == word_bytes) ? 0 : 2;
+}
 
 // out is row-major (n1, n2) double.
 void lev_ratio_matrix(const char** names1, int n1, const char** names2, int n2,
