@@ -21,6 +21,8 @@ def main(argv=None):
                     help="path to a reference-format args.json")
     ap.add_argument("--max_epoch", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any Config field, e.g. --set dim=32")
     ns = ap.parse_args(argv)
 
     if ns.args and os.path.exists(ns.args):
@@ -34,6 +36,24 @@ def main(argv=None):
         overrides["max_epoch"] = ns.max_epoch
     if ns.seed is not None:
         overrides["seed"] = ns.seed
+    import dataclasses as _dc
+
+    field_types = {f.name: f.type for f in _dc.fields(Config)}
+    for kv in ns.set:
+        key, _, val = kv.partition("=")
+        if key not in field_types:
+            ap.error(f"unknown config field {key!r}")
+        current = getattr(cfg, key)
+        if isinstance(current, bool):
+            overrides[key] = val.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            overrides[key] = int(val)
+        elif isinstance(current, float):
+            overrides[key] = float(val)
+        elif isinstance(current, list):
+            overrides[key] = [int(x) for x in val.split(",")]
+        else:
+            overrides[key] = val
     cfg = cfg.replace(**overrides)
 
     from multike_tpu.align.predicates import PredicateAlignModel

@@ -164,7 +164,7 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
 def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
                      metric: str = "inner", normalize: bool = False,
                      csls_k: int = 0, accurate: bool = False,
-                     verbose: bool = True):
+                     verbose: bool = True, matmul_dtype=None):
     """API parity with base/alignment.py:8-79.
 
     ``nums_threads`` is accepted for compatibility; the engine is on-device.
@@ -176,8 +176,9 @@ def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
     elif metric != "inner":
         raise NotImplementedError(
             f"device eval supports inner/cosine; use eval.similarity.sim for {metric!r}")
-    ranks, best = rank_and_align(embed1, embed2, normalize=normalize,
-                                 csls_k=csls_k)
+    ranks, best = rank_and_align(
+        embed1, embed2, normalize=normalize, csls_k=csls_k,
+        matmul_dtype=matmul_dtype if matmul_dtype is not None else jnp.float32)
     num = len(ranks)
     mr = float(np.mean(ranks + 1))
     mrr = float(np.mean(1.0 / (ranks + 1)))

@@ -7,22 +7,24 @@ from multike_tpu.eval.alignment import greedy_alignment
 
 
 def valid(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
-          normalize: bool = False, csls_k: int = 0, accurate: bool = False):
+          normalize: bool = False, csls_k: int = 0, accurate: bool = False,
+          matmul_dtype=None):
     if mapping is not None:
         embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
     _, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate)
+        accurate, matmul_dtype=matmul_dtype)
     return hits1_12, mrr_12
 
 
 def test(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
-         normalize: bool = False, csls_k: int = 0, accurate: bool = True):
+         normalize: bool = False, csls_k: int = 0, accurate: bool = True,
+         matmul_dtype=None):
     if mapping is not None:
         embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
     alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate)
+        accurate, matmul_dtype=matmul_dtype)
     return alignment_rest_12, hits1_12, mrr_12
 
 

@@ -28,6 +28,13 @@ def _choose_embeds(trainer, embed_choice: str, w=(1, 1, 1)) -> np.ndarray:
     raise KeyError(embed_choice)
 
 
+def _eval_dtype(trainer):
+    import jax.numpy as jnp
+
+    return (jnp.bfloat16 if trainer.cfg.eval_matmul_dtype == "bfloat16"
+            else jnp.float32)
+
+
 def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     ent_embeds = _choose_embeds(trainer, embed_choice, w)
     kgs = trainer.kgs
@@ -36,7 +43,8 @@ def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds1 = ent_embeds[kgs.valid_entities1]
     embeds2 = ent_embeds[kgs.valid_entities2 + kgs.test_entities2]
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
-                          trainer.cfg.test_threads_num, normalize=True)
+                          trainer.cfg.test_threads_num, normalize=True,
+                          matmul_dtype=_eval_dtype(trainer))
     return mrr_12
 
 
@@ -48,7 +56,8 @@ def test(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds1 = ent_embeds[kgs.test_entities1]
     embeds2 = ent_embeds[kgs.test_entities2]
     _, _, mrr_12 = eva.test(embeds1, embeds2, None, trainer.cfg.top_k,
-                            trainer.cfg.test_threads_num, normalize=True)
+                            trainer.cfg.test_threads_num, normalize=True,
+                            matmul_dtype=_eval_dtype(trainer))
     return mrr_12
 
 
