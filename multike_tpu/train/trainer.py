@@ -104,6 +104,22 @@ class MultiKETrainer:
         from multike_tpu.utils.metrics import MetricsLog
 
         self.metrics = MetricsLog(cfg.metrics_log_path or None)
+        self._log(f"device memory estimate: {self.memory_estimate_mb():.0f} MB "
+                  "(tables + per-stream Adagrad + neighbor table)")
+
+    def memory_estimate_mb(self) -> float:
+        """Rough HBM footprint: parameter tables, per-stream optimizer
+        accumulators, constants, triple arrays and the neighbor table."""
+        def nbytes(tree):
+            return sum(np.prod(x.shape) * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(tree))
+
+        total = nbytes(self.params) + nbytes(self.opt_states)
+        total += nbytes(self.constants)
+        total += self.rel_triples1.nbytes + self.rel_triples2.nbytes
+        kmax = max(self.k_nbr1, self.k_nbr2, 8)
+        total += self.kgs.entities_num * (kmax * 4 + 5)  # nbr + has + cnt
+        return total / 1e6
 
     # ------------------------------------------------------------------
     # capacity bucketing: predicate-alignment refresh changes the sup-triple
