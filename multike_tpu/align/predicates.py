@@ -16,7 +16,7 @@ Parity with predicate_alignment.py:
 """
 from __future__ import annotations
 
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List
 
 import numpy as np
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import List, Optional
+from typing import List
 
 
 @dataclasses.dataclass

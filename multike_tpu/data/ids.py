@@ -11,7 +11,7 @@ Two schemes, mirroring base/read.py:12-87:
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Set, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 
 def sort_elements(triples, elements_set):

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -16,14 +16,13 @@ ring attention, with a running top-1/count instead of softmax accumulation.
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental.shard_map import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_ring_rank(mesh: Mesh, axis_name: str = "dp",

@@ -14,15 +14,10 @@ base/batch.py, base/alignment.py); this module is new design, not a port.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 import jax
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from multike_tpu.config import Config
 
 
 def make_mesh(dp: int, tp: int = 1, devices=None) -> Mesh:

@@ -15,7 +15,7 @@ reductions for cross-dp gradients) over ICI. This is the step
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

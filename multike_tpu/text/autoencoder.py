@@ -22,8 +22,6 @@ Faithfully reproduced quirks:
 """
 from __future__ import annotations
 
-from typing import Dict, List
-
 import numpy as np
 
 import jax

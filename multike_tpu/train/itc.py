@@ -10,9 +10,6 @@ inside the eval-cadence branch (MultiKE_CSL.py:72-78) — kept.
 """
 from __future__ import annotations
 
-import time
-
-from multike_tpu.config import Config
 from multike_tpu.eval import views as vw
 from multike_tpu.eval.evaluation import early_stop
 from multike_tpu.train.trainer import MultiKETrainer

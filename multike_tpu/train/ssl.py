@@ -6,7 +6,6 @@ mapping only. Then save + full test sweep including WVA.
 """
 from __future__ import annotations
 
-from multike_tpu.config import Config
 from multike_tpu.eval import views as vw
 from multike_tpu.train.trainer import MultiKETrainer
 

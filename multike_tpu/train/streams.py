@@ -28,7 +28,7 @@ state over exactly the variables that stream trains:
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +40,8 @@ from multike_tpu.losses import (alignment_loss, positive_logistic_from_scores,
                                 relation_logistic_loss,
                                 relation_logistic_loss_wo_negs,
                                 space_mapping_loss)
-from multike_tpu.params import l2_normalize, lookup_norm
-from multike_tpu.sampling import NeighborState, sample_negatives
+from multike_tpu.params import lookup_norm
+from multike_tpu.sampling import sample_negatives
 from multike_tpu.views.attr_conv import conv_score
 
 STREAM_VARS: Dict[str, Tuple[str, ...]] = {

@@ -9,7 +9,7 @@ format so existing log tooling keeps working.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -20,8 +20,7 @@ from multike_tpu.config import Config
 from multike_tpu.data.dataset import DataModel
 from multike_tpu.data.kg import triples_to_array
 from multike_tpu.params import init_params, l2_normalize
-from multike_tpu.sampling import (NeighborState, build_neighbor_state,
-                                  empty_neighbor_state)
+from multike_tpu.sampling import NeighborState, build_neighbor_state
 from multike_tpu.train import streams
 from multike_tpu.align.predicates import PredicateAlignModel
 
