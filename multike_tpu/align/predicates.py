@@ -47,7 +47,7 @@ def generate_sup_predicate_triples(predicate_links, triples1, triples2):
     dic1, dic2 = link2dic(predicate_links)
     sup1 = {(s, dic1[p][0], o, dic1[p][1]) for (s, p, o) in triples1 if p in dic1}
     sup2 = {(s, dic2[p][0], o, dic2[p][1]) for (s, p, o) in triples2 if p in dic2}
-    return list(sup1), list(sup2)
+    return sorted(sup1), sorted(sup2)
 
 
 def add_weights(predicate_links, triples1, triples2, min_w_before):
@@ -67,7 +67,7 @@ def add_weights(predicate_links, triples1, triples2, min_w_before):
     w2 = weight_triples(triples2, dic2)
     assert len(triples1) == len(w1)
     assert len(triples2) == len(w2)
-    return list(w1), list(w2), w1, w2
+    return sorted(w1), sorted(w2), w1, w2
 
 
 def init_predicate_alignment(name_dict_1: Dict[str, str],
@@ -162,8 +162,9 @@ class PredicateAlignModel:
         self.relation_id_alignment_set = predicate2id_matched_pairs(
             relation_alignment_set, kgs.kg1.relations_id_dict,
             kgs.kg2.relations_id_dict)
-        self.train_relations1 = [a for (a, _, _) in self.relation_id_alignment_set]
-        self.train_relations2 = [a for (_, a, _) in self.relation_id_alignment_set]
+        pairs = sorted(self.relation_id_alignment_set)
+        self.train_relations1 = [a for (a, _, _) in pairs]
+        self.train_relations2 = [a for (_, a, _) in pairs]
         (self.sup_relation_alignment_triples1,
          self.sup_relation_alignment_triples2) = generate_sup_predicate_triples(
             self.relation_id_alignment_set,
@@ -182,8 +183,9 @@ class PredicateAlignModel:
         self.attribute_id_alignment_set = predicate2id_matched_pairs(
             attribute_alignment_set, kgs.kg1.attributes_id_dict,
             kgs.kg2.attributes_id_dict)
-        self.train_attributes1 = [a for (a, _, _) in self.attribute_id_alignment_set]
-        self.train_attributes2 = [a for (_, a, _) in self.attribute_id_alignment_set]
+        pairs = sorted(self.attribute_id_alignment_set)
+        self.train_attributes1 = [a for (a, _, _) in pairs]
+        self.train_attributes2 = [a for (_, a, _) in pairs]
         (self.sup_attribute_alignment_triples1,
          self.sup_attribute_alignment_triples2) = generate_sup_predicate_triples(
             self.attribute_id_alignment_set,

@@ -78,7 +78,7 @@ class DataModel:
                 self.kgs.kg2.local_attribute_triples_list)
             value_list = [v for (_, _, v) in cleaned1 + cleaned2]
             local_name_list = list(self.entity_local_name_dict.values())
-            self.literal_list = list(set(value_list + local_name_list))
+            self.literal_list = sorted(set(value_list + local_name_list))
             word2vec = self._word2vec_injected
             if word2vec is None:
                 word2vec = read_word2vec(self.cfg.word2vec_path,
@@ -133,7 +133,7 @@ class DataModel:
             if v in literal_set:
                 values_set.add(v)
                 keep2.add((h, a, v))
-        values_list = list(values_set)
+        values_list = sorted(values_set)
         values_id_dic = {v: i for i, v in enumerate(values_list)}
         id_triples1 = {(h, a, values_id_dic[v]) for (h, a, v) in keep1}
         id_triples2 = {(h, a, values_id_dic[v]) for (h, a, v) in keep2}

@@ -46,12 +46,15 @@ def generate_mapping_id(kg1_triples, kg1_elements, kg2_triples, kg2_elements,
             else:
                 ids1[kg1_ordered[i]] = n2 * 2 + (i - n2)
     else:
+        # Deterministic sequential ids: iterate in sorted-URI order so the
+        # URI->id mapping is independent of Python hash randomization
+        # (reference iterates raw sets -> run-to-run nondeterminism).
         index = 0
-        for ele in kg1_elements:
+        for ele in sorted(kg1_elements):
             if ele not in ids1:
                 ids1[ele] = index
                 index += 1
-        for ele in kg2_elements:
+        for ele in sorted(kg2_elements):
             if ele not in ids2:
                 ids2[ele] = index
                 index += 1
@@ -67,7 +70,7 @@ def generate_sharing_id(train_links, kg1_triples, kg1_elements, kg2_triples,
     if ordered:
         linked = {y: x for x, y in train_links}
         kg2_linked = [x[1] for x in train_links]
-        kg2_unlinked = set(kg2_elements) - set(kg2_linked)
+        kg2_unlinked = sorted(set(kg2_elements) - set(kg2_linked))
         ids1, ids2 = generate_mapping_id(kg1_triples, kg1_elements,
                                          kg2_triples, kg2_unlinked, ordered=True)
         for ele in kg2_linked:

@@ -65,16 +65,16 @@ class KG:
     # --- relation side -------------------------------------------------
     def set_relations(self, relation_triples):
         self.relation_triples_set = set(relation_triples)
-        self.relation_triples_list = list(self.relation_triples_set)
+        self.relation_triples_list = sorted(self.relation_triples_set)
         # 'local' = without swapped sup triples (base/kg.py:59-60)
         self.local_relation_triples_set = set(self.relation_triples_set)
-        self.local_relation_triples_list = list(self.local_relation_triples_set)
+        self.local_relation_triples_list = sorted(self.local_relation_triples_set)
 
         heads, relations, tails = parse_triples(self.relation_triples_set)
         self.entities_set = heads | tails
         self.relations_set = relations
-        self.entities_list = list(self.entities_set)
-        self.relations_list = list(self.relations_set)
+        self.entities_list = sorted(self.entities_set)
+        self.relations_list = sorted(self.relations_set)
         self.entities_num = len(self.entities_set)
         self.relations_num = len(self.relations_set)
         self.relation_triples_num = len(self.relation_triples_set)
@@ -84,13 +84,13 @@ class KG:
 
     def set_attributes(self, attribute_triples):
         self.attribute_triples_set = set(attribute_triples)
-        self.attribute_triples_list = list(self.attribute_triples_set)
+        self.attribute_triples_list = sorted(self.attribute_triples_set)
         self.local_attribute_triples_set = set(self.attribute_triples_set)
-        self.local_attribute_triples_list = list(self.local_attribute_triples_set)
+        self.local_attribute_triples_list = sorted(self.local_attribute_triples_set)
 
         _, attributes, _ = parse_triples(self.attribute_triples_set)
         self.attributes_set = attributes
-        self.attributes_list = list(self.attributes_set)
+        self.attributes_list = sorted(self.attributes_set)
         self.attributes_num = len(self.attributes_set)
         self.attribute_triples_num = len(self.attribute_triples_set)
         self.local_attribute_triples_num = len(self.local_attribute_triples_set)
@@ -126,16 +126,16 @@ class KG:
 
     def add_sup_relation_triples(self, sup_triples):
         self.sup_relation_triples_set = set(sup_triples)
-        self.sup_relation_triples_list = list(self.sup_relation_triples_set)
+        self.sup_relation_triples_list = sorted(self.sup_relation_triples_set)
         self.relation_triples_set |= self.sup_relation_triples_set
-        self.relation_triples_list = list(self.relation_triples_set)
+        self.relation_triples_list = sorted(self.relation_triples_set)
         self.relation_triples_num = len(self.relation_triples_list)
 
     def add_sup_attribute_triples(self, sup_triples):
         self.sup_attribute_triples_set = set(sup_triples)
-        self.sup_attribute_triples_list = list(self.sup_attribute_triples_set)
+        self.sup_attribute_triples_list = sorted(self.sup_attribute_triples_set)
         self.attribute_triples_set |= self.sup_attribute_triples_set
-        self.attribute_triples_list = list(self.attribute_triples_set)
+        self.attribute_triples_list = sorted(self.attribute_triples_set)
         self.attribute_triples_num = len(self.attribute_triples_list)
 
     # --- device-side views --------------------------------------------
