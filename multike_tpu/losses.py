@@ -62,6 +62,61 @@ def positive_logistic_from_scores(scores, weights=None, mask=None):
     return jnp.sum(pos)
 
 
+def lean_relation_logistic_loss(phs, prs, pts, cand_rows, corrupt_head,
+                                pos_mask=None):
+    """Reference TransE logistic loss (losses.py:4-12) in the *lean* batch
+    layout: instead of materializing six gathered row blocks (pos + fully
+    assembled negatives), negatives reuse the positive rows for the
+    uncorrupted side. ``phs/prs/pts``: (B, D) normalized rows;
+    ``cand_rows``: (B, K, D) normalized corruption-candidate rows;
+    ``corrupt_head``: (B, K) bool. Mathematically identical to
+    :func:`relation_logistic_loss` on the assembled negatives; it just
+    avoids gathering (and back-scattering) each positive row K extra times."""
+    pos = jax.nn.softplus(-transe_score(phs, prs, pts))
+    nh = jnp.where(corrupt_head[..., None], cand_rows, phs[:, None])
+    nt = jnp.where(corrupt_head[..., None], pts[:, None], cand_rows)
+    neg = jax.nn.softplus(transe_score(nh, prs[:, None], nt))
+    if pos_mask is not None:
+        pos = pos * pos_mask
+        neg = neg * pos_mask[:, None]
+    return jnp.sum(pos) + jnp.sum(neg)
+
+
+def chunk_shared_relation_logistic_loss(phs, prs, pts, cand_h, cand_t,
+                                        corrupt_head, pos_mask=None,
+                                        pair_keep=None):
+    """TransE logistic loss with chunk-shared negatives — the TPU-native
+    scheme (same family as DGL-KE chunk-based / PBG batched negatives).
+
+    ``phs/prs/pts``: (NC, S, D) normalized positive rows, chunked;
+    ``cand_h/cand_t``: (NC, K, D) normalized shared candidate rows;
+    ``corrupt_head``: (NC, S, K) per-slot coin (base/batch.py:90's p=0.5).
+
+    The negative score -||h' + r - t'||^2 is expanded so the cross terms
+    become (NC, S, D) x (NC, K, D) batched matmuls on the MXU:
+      corrupt head:  -(|c|^2 + |r - t|^2 + 2 c.(r - t))
+      corrupt tail:  -(|h + r|^2 + |c|^2 - 2 (h + r).c)
+    ``pair_keep`` (NC, S, K), optional: 0 drops a (positive, candidate) pair
+    (used for exact Bloom-filter rejection of true triples — stronger than
+    the reference's 10-retry resampling, base/batch.py:103-105)."""
+    hi_prec = jax.lax.Precision.HIGHEST
+    pos = jax.nn.softplus(-transe_score(phs, prs, pts))        # (NC, S)
+
+    rt = prs - pts                                             # (NC, S, D)
+    ns_h = -(_sq_norm(cand_h)[:, None, :] + _sq_norm(rt)[..., None]
+             + 2.0 * jnp.einsum("csd,ckd->csk", rt, cand_h, precision=hi_prec))
+    hr = phs + prs
+    ns_t = -(_sq_norm(hr)[..., None] + _sq_norm(cand_t)[:, None, :]
+             - 2.0 * jnp.einsum("csd,ckd->csk", hr, cand_t, precision=hi_prec))
+    neg = jax.nn.softplus(jnp.where(corrupt_head, ns_h, ns_t))  # (NC, S, K)
+    if pair_keep is not None:
+        neg = neg * pair_keep
+    if pos_mask is not None:
+        pos = pos * pos_mask
+        neg = neg * pos_mask[..., None]
+    return jnp.sum(pos) + jnp.sum(neg)
+
+
 def alignment_loss(ents1, ents2, mask=None):
     """sum ||e1 - e2||^2 (losses.py:66-69)."""
     d = _sq_norm(ents1 - ents2)

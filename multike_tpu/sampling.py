@@ -97,6 +97,12 @@ def _filter_contains(tfilter: TripleFilter, h, r, t):
     return (bit(i1) & bit(i2)) == 1
 
 
+def triple_filter_contains(tfilter: TripleFilter, h, r, t):
+    """Public membership test (broadcasting over any shape): True where
+    (h, r, t) is *possibly* a true triple, False where definitely not."""
+    return _filter_contains(tfilter, h, r, t)
+
+
 class NeighborState(NamedTuple):
     """Truncated-sampling candidates: ``nbr[e, :cnt[e]]`` holds neighbor
     entity ids, valid only where ``has[e]``. ``cnt`` allows the two KGs'
@@ -168,6 +174,67 @@ def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     neg_h = jnp.where(corrupt_head, cand, h)
     neg_t = jnp.where(corrupt_head, t, cand)
     return jnp.stack([neg_h, r, neg_t], axis=1)
+
+
+def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
+                       neighbors: Optional[NeighborState] = None,
+                       tfilter: Optional[TripleFilter] = None,
+                       retries: int = 0):
+    """Per-slot iid corruption draws in *structured* form: returns
+    ``(cand (B, K) int32, corrupt_head (B, K) bool)`` instead of assembled
+    negative triples. Sampling semantics are identical to
+    :func:`sample_negatives` (corrupt head-or-tail with p=0.5 per slot,
+    uniform over the owning KG's range / neighbor rows, optional Bloom
+    rejection) — the structured form lets the training step reuse the
+    positive rows for the uncorrupted side, halving embedding-table
+    gather/scatter traffic. ``lo``/``hi`` may be scalars or (B,) vectors."""
+    B = pos.shape[0]
+    h, r, t = pos[:, 0], pos[:, 1], pos[:, 2]
+    lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,))
+    hi = jnp.broadcast_to(jnp.asarray(hi, jnp.int32), (B,))
+
+    def draw(k, corrupt_head):
+        k_ent, k_pick = jax.random.split(k)
+        uniform = (lo[:, None] + jax.random.randint(k_ent, (B, neg_num), 0, 1 << 30)
+                   % (hi - lo)[:, None])
+        if neighbors is not None:
+            target = jnp.where(corrupt_head, h[:, None], t[:, None])
+            col = (jax.random.randint(k_pick, (B, neg_num), 0, 1 << 30)
+                   % neighbors.cnt[target])
+            from_nbr = neighbors.nbr[target, col]
+            return jnp.where(neighbors.has[target], from_nbr, uniform)
+        return uniform
+
+    key, k_side, k0 = jax.random.split(key, 3)
+    corrupt_head = jax.random.bernoulli(k_side, 0.5, (B, neg_num))
+    cand = draw(k0, corrupt_head)
+
+    if tfilter is not None and retries > 0:
+        for _ in range(retries):
+            neg_h = jnp.where(corrupt_head, cand, h[:, None])
+            neg_t = jnp.where(corrupt_head, t[:, None], cand)
+            is_true = _filter_contains(tfilter, neg_h, r[:, None], neg_t)
+            key, k_i = jax.random.split(key)
+            cand = jnp.where(is_true, draw(k_i, corrupt_head), cand)
+
+    return cand, corrupt_head
+
+
+def sample_shared_corruptions(key, num_chunks: int, neg_num: int, lo: int, hi: int):
+    """Chunk-shared candidate pools (the TPU-native scheme; same family as
+    DGL-KE's chunk-based and PyTorch-BigGraph's batched negative sampling).
+    Each chunk of positives shares ``neg_num`` head-corruption candidates and
+    ``neg_num`` tail-corruption candidates drawn uniformly from the owning
+    KG's id range [lo, hi). Returns ``(cand_h, cand_t)``, each
+    (num_chunks, neg_num) int32. Candidate *marginals* match the reference's
+    per-slot uniform draws (base/batch.py:86-116); sharing across a chunk
+    turns negative scoring into an MXU matmul and cuts gradient scatter rows
+    from O(B*K) to O(chunks*K)."""
+    kh, kt = jax.random.split(key)
+    span = hi - lo
+    ch = lo + jax.random.randint(kh, (num_chunks, neg_num), 0, 1 << 30) % span
+    ct = lo + jax.random.randint(kt, (num_chunks, neg_num), 0, 1 << 30) % span
+    return ch, ct
 
 
 def sample_neg_heads(key, pos_h: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,

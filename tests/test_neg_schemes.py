@@ -1,0 +1,130 @@
+"""Negative-batching schemes: the lean per-slot layout must equal the
+reference loss exactly, the chunk-shared MXU expansion must equal direct
+distance computation, and both schemes must train the relation view."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multike_tpu.config import Config
+from multike_tpu.losses import (chunk_shared_relation_logistic_loss,
+                                lean_relation_logistic_loss,
+                                relation_logistic_loss)
+from multike_tpu.params import l2_normalize, lookup_norm, lookup_norm_mm
+
+
+def _rows(key, n, d):
+    return l2_normalize(jax.random.normal(key, (n, d)), axis=-1)
+
+
+def test_lean_loss_equals_reference_on_assembled_negatives():
+    key = jax.random.PRNGKey(0)
+    B, K, D = 32, 5, 8
+    ks = jax.random.split(key, 6)
+    phs, prs, pts = _rows(ks[0], B, D), _rows(ks[1], B, D), _rows(ks[2], B, D)
+    cand = _rows(ks[3], B * K, D).reshape(B, K, D)
+    hb = jax.random.bernoulli(ks[4], 0.5, (B, K))
+    mask = (jax.random.uniform(ks[5], (B,)) > 0.2).astype(jnp.float32)
+
+    # assemble negatives the reference way: repeat each positive K times,
+    # replace the corrupted side with the candidate row
+    nhs = jnp.where(hb[..., None], cand, phs[:, None]).reshape(B * K, D)
+    nts = jnp.where(hb[..., None], pts[:, None], cand).reshape(B * K, D)
+    nrs = jnp.repeat(prs, K, axis=0)
+    ref = relation_logistic_loss(phs, prs, pts, nhs, nrs, nts,
+                                 pos_mask=mask,
+                                 neg_mask=jnp.repeat(mask, K))
+    lean = lean_relation_logistic_loss(phs, prs, pts, cand, hb, mask)
+    assert np.isclose(float(ref), float(lean), rtol=1e-6), (ref, lean)
+
+
+def test_chunk_shared_expansion_equals_direct_distances():
+    key = jax.random.PRNGKey(1)
+    NC, S, K, D = 3, 16, 4, 8
+    ks = jax.random.split(key, 7)
+    phs = _rows(ks[0], NC * S, D).reshape(NC, S, D)
+    prs = _rows(ks[1], NC * S, D).reshape(NC, S, D)
+    pts = _rows(ks[2], NC * S, D).reshape(NC, S, D)
+    ch = _rows(ks[3], NC * K, D).reshape(NC, K, D)
+    ct = _rows(ks[4], NC * K, D).reshape(NC, K, D)
+    hb = jax.random.bernoulli(ks[5], 0.5, (NC, S, K))
+    mask = (jax.random.uniform(ks[6], (NC, S)) > 0.2).astype(jnp.float32)
+
+    got = chunk_shared_relation_logistic_loss(phs, prs, pts, ch, ct, hb, mask)
+
+    # direct: materialize every (positive, candidate) pair
+    nh = jnp.where(hb[..., None], ch[:, None], phs[:, :, None])   # (NC,S,K,D)
+    nt = jnp.where(hb[..., None], pts[:, :, None], ct[:, None])
+    ns = -jnp.sum((nh + prs[:, :, None] - nt) ** 2, -1)
+    ps = -jnp.sum((phs + prs - pts) ** 2, -1)
+    want = (jnp.sum(jax.nn.softplus(-ps) * mask)
+            + jnp.sum(jax.nn.softplus(ns) * mask[..., None]))
+    assert np.isclose(float(got), float(want), rtol=1e-5), (got, want)
+
+
+def test_chunk_pair_keep_drops_pairs():
+    key = jax.random.PRNGKey(2)
+    NC, S, K, D = 1, 4, 3, 6
+    ks = jax.random.split(key, 6)
+    phs = _rows(ks[0], S, D).reshape(NC, S, D)
+    prs = _rows(ks[1], S, D).reshape(NC, S, D)
+    pts = _rows(ks[2], S, D).reshape(NC, S, D)
+    ch = _rows(ks[3], K, D).reshape(NC, K, D)
+    ct = _rows(ks[4], K, D).reshape(NC, K, D)
+    hb = jax.random.bernoulli(ks[5], 0.5, (NC, S, K))
+    mask = jnp.ones((NC, S), jnp.float32)
+    full = chunk_shared_relation_logistic_loss(phs, prs, pts, ch, ct, hb, mask)
+    none = chunk_shared_relation_logistic_loss(
+        phs, prs, pts, ch, ct, hb, mask,
+        pair_keep=jnp.zeros((NC, S, K), jnp.float32))
+    ps = -jnp.sum((phs + prs - pts) ** 2, -1)
+    pos_only = jnp.sum(jax.nn.softplus(-ps))
+    assert float(none) < float(full)
+    assert np.isclose(float(none), float(pos_only), rtol=1e-6)
+
+
+def test_lookup_norm_mm_matches_gather():
+    key = jax.random.PRNGKey(3)
+    tab = jax.random.normal(key, (50, 7))
+    idx = jax.random.randint(key, (33,), 0, 50)
+    a = np.asarray(lookup_norm(tab, idx))
+    b = np.asarray(lookup_norm_mm(tab, idx))
+    assert np.allclose(a, b, atol=1e-6)
+
+
+def test_sample_shared_corruptions_ranges():
+    from multike_tpu.sampling import sample_shared_corruptions
+
+    ch, ct = sample_shared_corruptions(jax.random.PRNGKey(0), 7, 11, 100, 240)
+    for arr in (np.asarray(ch), np.asarray(ct)):
+        assert arr.shape == (7, 11)
+        assert arr.min() >= 100 and arr.max() < 240
+
+
+@pytest.mark.parametrize("scheme", ["chunk_shared", "per_slot"])
+def test_rel_view_epoch_both_schemes_reduce_loss(scheme):
+    from multike_tpu.params import init_params
+    from multike_tpu.train import streams
+
+    cfg = Config(dim=8, batch_size=64, neg_triple_num=4, learning_rate=0.05,
+                 neg_scheme=scheme, neg_chunk_size=16)
+    E, R = 60, 6
+    rng = np.random.RandomState(0)
+    t1 = np.stack([rng.randint(0, 30, 200), rng.randint(0, R, 200),
+                   rng.randint(0, 30, 200)], 1).astype(np.int32)
+    t2 = np.stack([rng.randint(30, 60, 150), rng.randint(0, R, 150),
+                   rng.randint(30, 60, 150)], 1).astype(np.int32)
+    params = init_params(cfg, E, R, 2)
+    opt = streams.init_stream_opt_states(cfg, params)["rel_view"]
+    epoch, steps, trained = streams.build_rel_view_epoch(
+        cfg, len(t1), len(t2), ((0, 30), (30, 60)), with_neighbors=False)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(6):
+        params, opt, key, loss = epoch(params, opt, key,
+                                       jnp.asarray(t1), jnp.asarray(t2))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+    assert trained == 350
