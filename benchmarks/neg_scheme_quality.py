@@ -1,0 +1,58 @@
+"""Quality parity check for the negative-batching schemes (chunk_shared vs
+per_slot) on the 5K-entity synthetic pair: trains the full ITC driver twice
+and prints rv/final view metrics for each scheme.
+
+Run on CPU (the conftest-style virtual platform):
+    python benchmarks/neg_scheme_quality.py [epochs]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def run(scheme: str, folder: str, epochs: int):
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.config import Config
+    from multike_tpu.data.dataset import DataModel
+    from multike_tpu.eval import views as vw
+    from multike_tpu.train.itc import MultiKE_ITC
+
+    cfg = Config(training_data=folder, dim=32, batch_size=2048,
+                 entity_batch_size=1024, attribute_batch_size=2048,
+                 encoder_epoch=3, neg_triple_num=10, max_epoch=epochs,
+                 learning_rate=0.01, neg_scheme=scheme,
+                 start_valid=999, eval_freq=999, truncated_freq=8,
+                 start_predicate_soft_alignment=5, is_save=False,
+                 word2vec_path=folder + "mini_word2vec.vec")
+    data = DataModel(cfg)
+    pam = PredicateAlignModel(data.kgs, cfg)
+    model = MultiKE_ITC(cfg, data, pam, verbose=False)
+    t0 = time.time()
+    model.run()
+    dt = time.time() - t0
+    out = {"scheme": scheme, "epochs": epochs, "seconds": round(dt, 1)}
+    for choice in ("rv", "final"):
+        out[f"{choice}_test_mrr"] = round(float(
+            vw.test(model, embed_choice=choice)), 4)
+    return out
+
+
+def main():
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    from multike_tpu.data import synthetic
+
+    folder = synthetic.generate("/tmp/negq_ds/", seed=5, n_entities=5000,
+                                n_rel_triples=30000, n_attr_triples=15000)
+    for scheme in ("chunk_shared", "per_slot"):
+        print(json.dumps(run(scheme, folder, epochs)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

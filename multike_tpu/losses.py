@@ -83,22 +83,31 @@ def lean_relation_logistic_loss(phs, prs, pts, cand_rows, corrupt_head,
 
 
 def chunk_shared_relation_logistic_loss(phs, prs, pts, cand_h, cand_t,
-                                        corrupt_head, pos_mask=None,
-                                        pair_keep=None):
+                                        neg_weight=1.0, pos_mask=None,
+                                        keep_h=None, keep_t=None):
     """TransE logistic loss with chunk-shared negatives — the TPU-native
     scheme (same family as DGL-KE chunk-based / PBG batched negatives).
 
     ``phs/prs/pts``: (NC, S, D) normalized positive rows, chunked;
-    ``cand_h/cand_t``: (NC, K, D) normalized shared candidate rows;
-    ``corrupt_head``: (NC, S, K) per-slot coin (base/batch.py:90's p=0.5).
+    ``cand_h/cand_t``: (NC, C, D) normalized shared candidate rows (head-
+    and tail-corruption pools). Every positive scores against all C
+    candidates of each pool, each pair weighted ``neg_weight``.
+
+    The reference's negative sum (losses.py:10-11 over B*K per-slot draws:
+    a p=0.5 head/tail coin + a uniform candidate, base/batch.py:86-116) is a
+    Monte-Carlo sum of K iid terms per positive. Scoring C shared uniform
+    candidates per side with ``neg_weight = K / (2C)`` is the same estimator
+    with more samples — identical expectation, lower variance — while the
+    candidate pools stay small enough that their gradients ride the matmul
+    transpose instead of a row scatter.
 
     The negative score -||h' + r - t'||^2 is expanded so the cross terms
-    become (NC, S, D) x (NC, K, D) batched matmuls on the MXU:
+    become (NC, S, D) x (NC, C, D) batched matmuls on the MXU:
       corrupt head:  -(|c|^2 + |r - t|^2 + 2 c.(r - t))
       corrupt tail:  -(|h + r|^2 + |c|^2 - 2 (h + r).c)
-    ``pair_keep`` (NC, S, K), optional: 0 drops a (positive, candidate) pair
-    (used for exact Bloom-filter rejection of true triples — stronger than
-    the reference's 10-retry resampling, base/batch.py:103-105)."""
+    ``keep_h``/``keep_t`` (NC, S, C), optional: 0 drops a (positive,
+    candidate) pair (exact Bloom-filter rejection of true triples — stronger
+    than the reference's 10-retry resampling, base/batch.py:103-105)."""
     hi_prec = jax.lax.Precision.HIGHEST
     pos = jax.nn.softplus(-transe_score(phs, prs, pts))        # (NC, S)
 
@@ -108,9 +117,13 @@ def chunk_shared_relation_logistic_loss(phs, prs, pts, cand_h, cand_t,
     hr = phs + prs
     ns_t = -(_sq_norm(hr)[..., None] + _sq_norm(cand_t)[:, None, :]
              - 2.0 * jnp.einsum("csd,ckd->csk", hr, cand_t, precision=hi_prec))
-    neg = jax.nn.softplus(jnp.where(corrupt_head, ns_h, ns_t))  # (NC, S, K)
-    if pair_keep is not None:
-        neg = neg * pair_keep
+    neg_h = jax.nn.softplus(ns_h)                              # (NC, S, C)
+    neg_t = jax.nn.softplus(ns_t)
+    if keep_h is not None:
+        neg_h = neg_h * keep_h
+    if keep_t is not None:
+        neg_t = neg_t * keep_t
+    neg = (neg_h + neg_t) * neg_weight
     if pos_mask is not None:
         pos = pos * pos_mask
         neg = neg * pos_mask[..., None]

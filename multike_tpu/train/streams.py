@@ -389,10 +389,14 @@ def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
 
 
 def build_ckge_rel_epoch(cfg: Config, n: int, steps: int | None = None):
+    from multike_tpu.params import lookup_norm_fast
+
     def loss_of(merged, pos):
-        phs = lookup_norm(merged["rv_ent"], pos[:, 0])
-        prs = lookup_norm(merged["rel"], pos[:, 1])
-        pts = lookup_norm(merged["rv_ent"], pos[:, 2])
+        # one fused entity gather -> one scatter in the backward pass
+        rows = lookup_norm(merged["rv_ent"],
+                           jnp.concatenate([pos[:, 0], pos[:, 2]]))
+        phs, pts = rows[:pos.shape[0]], rows[pos.shape[0]:]
+        prs = lookup_norm_fast(merged["rel"], pos[:, 1])
         return 2.0 * relation_logistic_loss_wo_negs(phs, prs, pts)
 
     return _sampled_epoch(cfg, "ckge_rel", n, cfg.batch_size, loss_of,
@@ -404,9 +408,12 @@ def build_ckgp_rel_epoch(cfg: Config, n: int, steps: int | None = None):
     from multike_tpu.losses import logistic_loss_wo_negs
 
     def loss_of(merged, pos, w):
-        phs = lookup_norm(merged["rv_ent"], pos[:, 0])
-        prs = lookup_norm(merged["rel"], pos[:, 1])
-        pts = lookup_norm(merged["rv_ent"], pos[:, 2])
+        from multike_tpu.params import lookup_norm_fast
+
+        rows = lookup_norm(merged["rv_ent"],
+                           jnp.concatenate([pos[:, 0], pos[:, 2]]))
+        phs, pts = rows[:pos.shape[0]], rows[pos.shape[0]:]
+        prs = lookup_norm_fast(merged["rel"], pos[:, 1])
         return 2.0 * logistic_loss_wo_negs(phs, prs, pts, w)
 
     return _sampled_epoch(cfg, "ckgp_rel", n, cfg.batch_size, loss_of,
