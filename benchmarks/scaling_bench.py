@@ -1,8 +1,14 @@
-"""Scaling measurement (fixed global batch) of the SPMD training step.
+"""Scaling measurement of the REAL relation-view training epoch over a
+('dp', 'tp') mesh (strong scaling: fixed global batch / dataset).
 
 On real hardware this is the BASELINE 'triples/s at 1 chip / 1 host /
 2 hosts, >=80% scaling' measurement; on the virtual CPU mesh it validates
-the *method* (per-dp-size throughput of the identical program).
+the *method* (per-dp-size throughput of the identical program). The epoch
+function measured is ``train/streams.build_rel_view_epoch`` with a live
+``MeshContext`` — exactly what ``MultiKETrainer`` drives, not a demo step.
+
+All runs force the row-sparse Adagrad path so dp sizes are compared
+like-for-like (mesh mode requires it; see streams._make_stream_update).
 
 Usage: python benchmarks/scaling_bench.py [--devices 8] [--batch 4096]
 """
@@ -22,7 +28,8 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--entities", type=int, default=20000)
-    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--triples", type=int, default=60000)
+    ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", default=None)
     ns = ap.parse_args()
 
@@ -39,48 +46,55 @@ def main():
     import jax.numpy as jnp
 
     from multike_tpu.config import Config
+    from multike_tpu.parallel.context import MeshContext
     from multike_tpu.params import init_params
-    from multike_tpu.parallel.mesh import make_mesh, shard_params
-    from multike_tpu.parallel.spmd import make_spmd_train_step
+    from multike_tpu.train import streams
 
-    cfg = Config(dim=75, neg_triple_num=10)
-    E, R, A, V = ns.entities, 512, 64, 1024
+    E, R = ns.entities, 512
+    half = E // 2
     rng = np.random.RandomState(0)
-    constants = {
-        "name_embeds": jnp.asarray(rng.randn(E, cfg.dim), jnp.float32),
-        "literal_embeds": jnp.asarray(rng.randn(V, cfg.dim), jnp.float32),
-    }
+
+    def synth(lo, hi):
+        return np.stack([rng.randint(lo, hi, ns.triples),
+                         rng.randint(0, R, ns.triples),
+                         rng.randint(lo, hi, ns.triples)], 1).astype(np.int32)
+
+    t1, t2 = synth(0, half), synth(half, E)
+    ranges = ((0, half), (half, E))
 
     results = {}
     dp_sizes = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     for dp in dp_sizes:
-        mesh = make_mesh(dp, 1)
-        params = shard_params(init_params(cfg, E, R, A), mesh)
-        step_fn, opt_init = make_spmd_train_step(cfg, mesh, E)
-        opt = opt_init(params)
-        B = ns.batch
-        rel = jnp.asarray(rng.randint(0, [E, R, E], size=(B, 3)), jnp.int32)
-        attr = jnp.asarray(rng.randint(0, [E, A, V], size=(B, 3)), jnp.int32)
-        w = jnp.ones((B,), jnp.float32)
-        ce = jnp.asarray(rng.randint(0, E, size=(B,)), jnp.int32)
+        cfg = Config(dim=75, neg_triple_num=10, batch_size=ns.batch,
+                     mesh_dp=dp, mesh_tp=1, row_sparse_updates=True)
+        pctx = MeshContext.from_config(cfg)
+        params = init_params(cfg, E, R, 2)
+        opt_states = streams.init_stream_opt_states(cfg, params, pctx=pctx)
+        if pctx is not None:
+            params = pctx.shard_params(params)
+            opt_states = pctx.shard_stream_opt_states(opt_states)
+        epoch_fn, steps, trained = streams.build_rel_view_epoch(
+            cfg, ns.triples, ns.triples, ranges, with_neighbors=False,
+            pctx=pctx)
+        opt = opt_states["rel_view"]
         key = jax.random.PRNGKey(0)
-        params, opt, key, m = step_fn(params, opt, key, constants, rel, attr,
-                                      w, ce)  # compile
-        jax.block_until_ready(m["rel_loss"])
+        jt1, jt2 = jnp.asarray(t1), jnp.asarray(t2)
+        params, opt, key, loss = epoch_fn(params, opt, key, jt1, jt2)  # compile
+        float(loss)
         t0 = time.perf_counter()
-        for _ in range(ns.steps):
-            params, opt, key, m = step_fn(params, opt, key, constants, rel,
-                                          attr, w, ce)
-        jax.block_until_ready(m["rel_loss"])
+        for _ in range(ns.epochs):
+            params, opt, key, loss = epoch_fn(params, opt, key, jt1, jt2)
+        float(loss)
         dt = time.perf_counter() - t0
-        tps = B * ns.steps / dt
+        tps = trained * ns.epochs / dt
         results[dp] = tps
-        print(f"dp={dp}: {tps:,.0f} triples/s", file=sys.stderr, flush=True)
+        print(f"dp={dp}: {tps:,.0f} triples/s ({steps} steps/epoch)",
+              file=sys.stderr, flush=True)
 
     base = results[dp_sizes[0]]
     effs = {d: results[d] / (base * d) for d in dp_sizes}
     print(json.dumps({
-        "metric": "spmd_step_scaling",
+        "metric": "rel_view_epoch_scaling",
         "throughput": {str(d): round(v, 1) for d, v in results.items()},
         "efficiency_vs_dp1": {str(d): round(e, 3) for d, e in effs.items()},
     }))

@@ -158,6 +158,9 @@ class PredicateAlignModel:
 
     # ------------------------------------------------------------------
     def update_relation_triples(self, relation_alignment_set):
+        # bump on every refresh so consumers (trainer) can cache derived
+        # arrays between the every-10-epochs updates
+        self.version = getattr(self, "version", 0) + 1
         kgs = self.kgs
         self.relation_id_alignment_set = predicate2id_matched_pairs(
             relation_alignment_set, kgs.kg1.relations_id_dict,
@@ -179,6 +182,7 @@ class PredicateAlignModel:
             self.cfg.predicate_soft_sim)
 
     def update_attribute_triples(self, attribute_alignment_set):
+        self.version = getattr(self, "version", 0) + 1
         kgs = self.kgs
         self.attribute_id_alignment_set = predicate2id_matched_pairs(
             attribute_alignment_set, kgs.kg1.attributes_id_dict,

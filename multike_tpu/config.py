@@ -53,10 +53,14 @@ class Config:
     # --- negative sampling (args.json:25-28) ---
     neg_triple_num: int = 10
     neg_sampling: str = "truncated"
-    # On-device exact rejection of true triples via a Bloom filter: number of
-    # resample rounds (0 = accept rare false negatives; the reference's host
-    # rejection gives up after 10 tries, base/batch.py:103-105)
-    neg_rejection_tries: int = 0
+    # On-device exact rejection of true triples via a Bloom filter. In
+    # per_slot mode this is the number of resample rounds (the reference's
+    # host rejection gives up after 10 tries, base/batch.py:103-105 — same
+    # default here); in chunk_shared mode any value > 0 enables the exact
+    # keep-mask (offending (positive, candidate) pairs are dropped from the
+    # negative sum — no resampling loop needed). 0 = accept rare false
+    # negatives (~degree/|E| probability per draw).
+    neg_rejection_tries: int = 10
     truncated_epsilon: float = 0.98
     truncated_freq: int = 20
     # Negative batching scheme (TPU-native knob):
@@ -69,6 +73,12 @@ class Config:
     #     sampling is active (neighbor candidates are entity-specific).
     neg_scheme: str = "chunk_shared"
     neg_chunk_size: int = 1024
+    # Size C of each shared candidate pool per chunk (head pool + tail pool);
+    # 0 = neg_triple_num. Every positive scores against all 2C pool members,
+    # each weighted neg_triple_num / (2C), which matches the expectation of
+    # the reference's neg_triple_num coin-mixed per-slot draws with lower
+    # variance (see losses.chunk_shared_relation_logistic_loss).
+    neg_pool_size: int = 0
 
     # --- host parallelism knobs of the reference (args.json:30-31); kept for
     # config compatibility. On TPU, batching/eval are on-device, so these only
@@ -115,6 +125,15 @@ class Config:
     checkpoint_freq: int = 0  # epochs; 0 = only final save
     # Structured metrics (jsonl); empty = in-memory only
     metrics_log_path: str = ""
+    # Row-sparse Adagrad (train/sparse_adagrad.py): apply optimizer updates
+    # only to the rows each step touches — O(batch*d) HBM traffic, flat in
+    # table size, identical math (TF1 sparse-Adagrad semantics). Dense optax
+    # pipelines better at small E where scatters dominate (measured v5e
+    # crossover ~500K rows: dense 1.0ms@100K/6.4ms@1M vs sparse flat
+    # ~2.3ms). "auto" picks per entity-table size; True/"on" or False/"off"
+    # force. Only effective with optimizer == "Adagrad".
+    row_sparse_updates: str | bool = "auto"
+    row_sparse_min_rows: int = 400_000
     # RNG
     seed: int = 2019
     # How many steps of one loss stream are fused into a single jitted

@@ -225,28 +225,50 @@ def calculate_rank(idx: List[int], sim_mat: np.ndarray, top_k: Sequence[int],
 # ---------------------------------------------------------------------------
 
 def galeshapley(suitor_pref_dict, reviewer_pref_dict, max_iteration: int):
-    """Gale-Shapley stable marriage (base/alignment.py:166-219)."""
-    suitors = list(suitor_pref_dict.keys())
-    matching = {}
-    rev_matching = {}
+    """Deferred-acceptance stable matching (API parity with the reference's
+    stable-marriage aux path, base/alignment.py:166-219; the main eval never
+    calls it).
+
+    Index-array implementation: preferences are converted to integer rank
+    tables once, then each round every free suitor proposes to the next
+    reviewer on its list and each reviewer keeps the proposer it ranks best.
+    Proposals run in O(1) per step (no list scans/removals).
+    ``max_iteration`` bounds the number of proposal rounds; with enough
+    rounds the result is the classic suitor-optimal stable matching.
+    Returns {suitor: reviewer}."""
+    suitors = list(suitor_pref_dict)
+    reviewers = list(reviewer_pref_dict)
+    sid = {s: i for i, s in enumerate(suitors)}
+    rid = {r: j for j, r in enumerate(reviewers)}
+    prefs = [[rid[r] for r in suitor_pref_dict[s]] for s in suitors]
+    # rank_of[j] maps suitor index -> position in reviewer j's list
+    rank_of = [{sid[s]: k for k, s in enumerate(reviewer_pref_dict[r])}
+               for r in reviewers]
+    unranked = float("inf")
+
+    nxt = [0] * len(suitors)             # next list position to propose to
+    holds = [-1] * len(reviewers)        # reviewer j -> tentatively held suitor
+    free = list(range(len(suitors)))
     for _ in range(max_iteration):
-        if len(suitors) <= 0:
+        if not free:
             break
-        for s in suitors:
-            r = suitor_pref_dict[s][0]
-            if r not in matching.values():
-                matching[s] = r
-                rev_matching[r] = s
+        still_free = []
+        for i in free:
+            if nxt[i] >= len(prefs[i]):
+                continue                 # exhausted list: permanently unmatched
+            j = prefs[i][nxt[i]]
+            cur = holds[j]
+            if cur < 0:
+                holds[j] = i
+            elif rank_of[j].get(i, unranked) < rank_of[j].get(cur, unranked):
+                holds[j] = i             # displace: cur can never win j back
+                nxt[cur] += 1
+                still_free.append(cur)
             else:
-                r_partner = rev_matching.get(r)
-                if reviewer_pref_dict[r].index(s) < reviewer_pref_dict[r].index(r_partner):
-                    del matching[r_partner]
-                    matching[s] = r
-                    rev_matching[r] = s
-                else:
-                    suitor_pref_dict[s].remove(r)
-        suitors = list(set(suitor_pref_dict.keys()) - set(matching.keys()))
-    return matching
+                nxt[i] += 1
+                still_free.append(i)
+        free = still_free
+    return {suitors[i]: reviewers[j] for j, i in enumerate(holds) if i >= 0}
 
 
 def stable_alignment(embed1, embed2, metric: str = "inner",

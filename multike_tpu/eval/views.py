@@ -104,7 +104,8 @@ def _wva_eval(trainer, ents1, ents2, label: str) -> float:
     embeds1 = w1 * nv1 + w2 * rv1 + w3 * av1
     embeds2 = w1 * nv2 + w2 * rv2 + w3 * av2
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
-                          trainer.cfg.test_threads_num, normalize=True)
+                          trainer.cfg.test_threads_num, normalize=True,
+                          matmul_dtype=_eval_dtype(trainer))
     return mrr_12
 
 

@@ -1,0 +1,212 @@
+"""Parallel execution context: the ('dp', 'tp') mesh wiring for the trainer.
+
+The reference's only parallelism is host multiprocessing (SURVEY.md §2.3);
+this module is new TPU-first design. A ``MeshContext`` carries the device
+mesh and the sharding rules every training stream uses:
+
+  * 'dp' (data parallel / edge partitioning): each step's batch — positive
+    triples, masks, candidate pools, Bloom keep masks — is split over 'dp' on
+    its leading axis. Per-step cross-device traffic is ONE all-gather of the
+    touched (row-id, row-gradient) pairs, O(batch * d) bytes over ICI,
+    independent of table size.
+  * 'tp' (table parallel): entity tables + their Adagrad accumulators are
+    row-sharded over 'tp' so table memory scales with devices. A batch gather
+    becomes masked-local-gather + psum over 'tp' (O(batch * d), see
+    parallel/tp_lookup.py for the standalone primitive); the row-sparse
+    update applies only to locally-owned rows.
+
+Dense (small) parameters — relation/attribute tables, conv scorers, mapping
+matrices — stay replicated; their gradients psum over 'dp'.
+
+Determinism: negative sampling and batch permutations run OUTSIDE the
+shard_map core on replicated RNG keys, so a dp=N run draws bit-identical
+batches/candidates to dp=1 — the dp-equivalence tests rely on this.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Tables large enough to row-shard over 'tp' (entity-indexed).
+ROW_SHARDED_TABLES = ("rv_ent", "av_ent", "ent")
+
+
+class MeshContext:
+    """Holds the mesh and sharding helpers. ``None``-mesh context methods are
+    never called (builders check ``pctx is None`` first)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.dp = mesh.shape.get("dp", 1)
+        self.tp = mesh.shape.get("tp", 1)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_config(cfg, devices=None) -> Optional["MeshContext"]:
+        """Build from cfg.mesh_dp/mesh_tp; None when the mesh is trivial."""
+        dp, tp = cfg.mesh_dp, cfg.mesh_tp
+        if dp * tp <= 1:
+            return None
+        devices = devices if devices is not None else jax.devices()
+        n = dp * tp
+        assert n <= len(devices), \
+            f"mesh {dp}x{tp} needs {n} devices, have {len(devices)}"
+        arr = np.asarray(devices[:n]).reshape(dp, tp)
+        return MeshContext(Mesh(arr, ("dp", "tp")))
+
+    # ------------------------------------------------------------------
+    def table_spec(self, name: str) -> P:
+        if name in ROW_SHARDED_TABLES and self.tp > 1:
+            return P("tp", None)
+        return P()
+
+    def param_specs(self, params) -> Dict:
+        """PartitionSpec pytree matching a params/opt-state dict keyed by
+        variable name (nested conv dicts replicate)."""
+        def spec_for(name, leaf):
+            return jax.tree_util.tree_map(
+                lambda _: self.table_spec(name), leaf)
+
+        return {k: spec_for(k, v) for k, v in params.items()}
+
+    def shard_params(self, params):
+        """device_put a params-shaped pytree onto the mesh. Row-sharded
+        tables must have row counts divisible by tp (pad first)."""
+        def place(name, leaf):
+            return jax.device_put(
+                leaf, NamedSharding(self.mesh, self.table_spec(name)))
+
+        return {k: jax.tree_util.tree_map(lambda l, n=k: place(n, l), v)
+                for k, v in params.items()}
+
+    def shard_stream_opt_states(self, opt_states):
+        return {s: self.shard_params(st) for s, st in opt_states.items()}
+
+    def replicate(self, tree):
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(
+            lambda l: jax.device_put(l, rep), tree)
+
+    # ------------------------------------------------------------------
+    def pad_table_rows(self, table: jnp.ndarray) -> jnp.ndarray:
+        """Pad rows to a multiple of tp (padded rows are zeros, never
+        addressed by valid entity ids)."""
+        pad = (-table.shape[0]) % self.tp
+        if pad == 0:
+            return table
+        return jnp.concatenate(
+            [table, jnp.zeros((pad,) + table.shape[1:], table.dtype)])
+
+    def round_batch(self, n: int) -> int:
+        """Round a batch/chunk count up to a multiple of dp."""
+        return int(-(-n // self.dp) * self.dp)
+
+
+def masked_row_gather(shard: jnp.ndarray, ids: jnp.ndarray,
+                      axis_name: str = "tp") -> jnp.ndarray:
+    """Inside shard_map: gather global-id rows from a 'tp'-row-sharded table.
+    Local masked gather + psum over the axis — O(B*d) ICI bytes (see
+    parallel/tp_lookup.py for the measured rationale). ids may be any shape;
+    returns ids.shape + (d,)."""
+    rows_per_dev = shard.shape[0]
+    lo = jax.lax.axis_index(axis_name) * rows_per_dev
+    local = ids - lo
+    owned = (local >= 0) & (local < rows_per_dev)
+    safe = jnp.clip(local, 0, rows_per_dev - 1)
+    out = jnp.where(owned[..., None], shard[safe], 0.0)
+    return jax.lax.psum(out, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# Mesh-mode training primitives (used by train/streams._make_stream_update)
+# ---------------------------------------------------------------------------
+
+def _dp_pad(pctx: MeshContext, ids: jnp.ndarray, g: jnp.ndarray | None = None):
+    """Pad a fused id vector (and optionally its row grads) to a multiple of
+    dp so shard_map can split it evenly. Pad ids are 0 with zero gradients —
+    an exactly neutral Adagrad contribution (gsum += 0)."""
+    n = ids.shape[0]
+    pad = (-n) % pctx.dp
+    if pad:
+        ids = jnp.pad(ids, (0, pad))
+        if g is not None:
+            g = jnp.pad(g, ((0, pad), (0, 0)))
+    return ids, g
+
+
+def shard_dp(pctx: Optional[MeshContext], x: jnp.ndarray) -> jnp.ndarray:
+    """Constrain an array to be sharded over 'dp' on its leading axis (GSPMD
+    handles uneven sizes). No-op without a mesh."""
+    if pctx is None:
+        return x
+    from jax.sharding import NamedSharding
+
+    spec = P("dp", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(pctx.mesh, spec))
+
+
+def gather_rows(pctx: Optional[MeshContext], name: str, table: jnp.ndarray,
+                ids: jnp.ndarray) -> jnp.ndarray:
+    """Raw row gather honoring the table's mesh placement.
+
+    Replicated table (or no mesh): a plain local gather (dp-sharded ids =>
+    dp-sharded rows, zero comm). 'tp'-row-sharded table: shard_map masked
+    gather + psum over 'tp' — O(B*d) ICI bytes instead of the O(E*d)
+    whole-table all-gather XLA would emit for a plain gather."""
+    if pctx is None or not (name in ROW_SHARDED_TABLES and pctx.tp > 1):
+        return table[ids]
+    from jax.experimental.shard_map import shard_map
+
+    n = ids.shape[0]
+    ids_p, _ = _dp_pad(pctx, ids)
+
+    def inner(shard, ids_loc):
+        return masked_row_gather(shard, ids_loc, "tp")
+
+    rows = shard_map(
+        inner, mesh=pctx.mesh,
+        in_specs=(P("tp", None), P("dp")),
+        out_specs=P("dp", None),
+        check_rep=False,
+    )(table, ids_p)
+    return rows[:n]
+
+
+def row_apply_sharded(pctx: MeshContext, name: str, param, acc, ids, g_rows,
+                      lr: float):
+    """Mesh-mode row-sparse Adagrad apply.
+
+    The ONLY cross-device traffic of the whole optimizer step: one all-gather
+    of the (row-id, row-gradient) pairs over 'dp' (O(batch * d) bytes on
+    ICI). Every device then applies the identical deduplicated update to the
+    table rows it owns — dp replicas stay bit-identical, tp shards update
+    disjoint row ranges. No dense-table gradient ever exists."""
+    from jax.experimental.shard_map import shard_map
+    from multike_tpu.train import sparse_adagrad
+
+    ids_p, g_p = _dp_pad(pctx, ids, g_rows)
+    tp_sharded = name in ROW_SHARDED_TABLES and pctx.tp > 1
+    tspec = P("tp", None) if tp_sharded else P()
+    total = param.shape[0]
+
+    def inner(p_shard, a_shard, ids_loc, g_loc):
+        all_ids = jax.lax.all_gather(ids_loc, "dp", axis=0, tiled=True)
+        all_g = jax.lax.all_gather(g_loc, "dp", axis=0, tiled=True)
+        offset = (jax.lax.axis_index("tp") * p_shard.shape[0]
+                  if tp_sharded else 0)
+        return sparse_adagrad.row_apply(
+            p_shard, a_shard, all_ids, all_g, lr,
+            row_offset=offset, total_rows=total)
+
+    return shard_map(
+        inner, mesh=pctx.mesh,
+        in_specs=(tspec, tspec, P("dp"), P("dp")),
+        out_specs=(tspec, tspec),
+        check_rep=False,
+    )(param, acc, ids_p, g_p)

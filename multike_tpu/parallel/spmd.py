@@ -1,16 +1,15 @@
-"""SPMD training step over a ('dp', 'tp') mesh.
+"""SPMD validation entry points over a ('dp', 'tp') mesh.
 
-One fused MultiKE training step covering the three compute-heavy loss
-families (relation-view TransE with on-device negatives, attribute-view conv
-scorer, common-space combination), jitted with NamedShardings:
+``dryrun`` compiles and executes the trainer's REAL per-stream epoch
+functions (train/streams.py builders — the exact code ``MultiKETrainer``
+drives, with a live ``MeshContext``) on an n-device mesh with tiny shapes:
+all 8 loss streams, one epoch each, plus the sharded eval rank oracle check.
+``__graft_entry__.dryrun_multichip`` calls this on the driver's virtual
+device mesh.
 
-  * batches sharded over 'dp' (edge partitioning of the triple stream);
-  * entity/relation/attribute tables row-sharded over 'tp';
-  * per-stream Adagrad updates applied inside the same jit.
-
-XLA inserts the collectives (all-gather for remote-row gathers, psum-style
-reductions for cross-dp gradients) over ICI. This is the step
-``__graft_entry__.dryrun_multichip`` compiles on an N-device virtual mesh.
+Mesh semantics (parallel/context.py): batches dp-sharded, entity tables
+row-sharded over tp (masked gather + psum), optimizer updates exchanged as
+(row-id, row-grad) pairs over 'dp' — never a dense-table gradient.
 """
 from __future__ import annotations
 
@@ -21,18 +20,12 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import NamedSharding, PartitionSpec as PSpec
 
 from multike_tpu.config import Config
-from multike_tpu.losses import (alignment_loss, positive_logistic_from_scores,
-                                relation_logistic_loss)
-from multike_tpu.params import init_params, lookup_norm
-from multike_tpu.parallel.mesh import (batch_sharding, make_mesh, replicated,
-                                       shard_params)
-from multike_tpu.sampling import sample_negatives
-from multike_tpu.train.streams import STREAM_VARS, stream_optimizer
-from multike_tpu.views.attr_conv import conv_score
+from multike_tpu.parallel.context import ROW_SHARDED_TABLES, MeshContext
+from multike_tpu.params import init_params
+from multike_tpu.train import streams
 
 
 def pad_rows(table: jnp.ndarray, multiple: int) -> jnp.ndarray:
@@ -44,103 +37,6 @@ def pad_rows(table: jnp.ndarray, multiple: int) -> jnp.ndarray:
         return table
     return jnp.concatenate(
         [table, jnp.zeros((pad,) + table.shape[1:], table.dtype)])
-
-
-def make_spmd_train_step(cfg: Config, mesh, entities_num: int):
-    """Returns (step_fn, opt_states_init). step_fn signature:
-    (params, opt_states, key, constants, rel_pos, attr_pos, attr_w, cs_ents)
-    -> (params, opt_states, key, metrics).
-
-    When the mesh has a non-trivial 'tp' axis, relation-view lookups into the
-    row-sharded tables go through the shard_map masked-gather + psum
-    primitive (parallel/tp_lookup.py) so only O(B*d) bytes cross ICI per
-    gather instead of a whole-table all-gather; its autodiff transpose keeps
-    gradients sharded."""
-    streams_used = ("rel_view", "attr_view", "common_space")
-    opts = {s: stream_optimizer(cfg, s) for s in streams_used}
-    tp = mesh.shape.get("tp", 1)
-    use_tp = tp > 1
-    if use_tp:
-        from multike_tpu.parallel.tp_lookup import make_tp_lookup
-
-        tp_gather_norm = make_tp_lookup(mesh, "tp", normalize=True,
-                                        batch_axis="dp")
-
-    def opt_init(params):
-        return {s: opts[s].init({k: params[k] for k in STREAM_VARS[s]})
-                for s in streams_used}
-
-    neg_num = cfg.neg_triple_num
-
-    def apply_stream(params, opt_state, stream, loss_fn):
-        names = STREAM_VARS[stream]
-        subset = {k: params[k] for k in names}
-
-        def wrapped(sub):
-            stopped = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
-            merged = dict(stopped)
-            merged.update(sub)
-            return loss_fn(merged)
-
-        loss, grads = jax.value_and_grad(wrapped)(subset)
-        updates, opt_state = opts[stream].update(grads, opt_state, subset)
-        subset = optax.apply_updates(subset, updates)
-        params = dict(params)
-        params.update(subset)
-        return params, opt_state, loss
-
-    def step(params, opt_states, key, constants, rel_pos, attr_pos, attr_w,
-             cs_ents):
-        key, k_neg = jax.random.split(key)
-        lo = jnp.zeros((rel_pos.shape[0],), jnp.int32)
-        hi = jnp.full((rel_pos.shape[0],), entities_num, jnp.int32)
-        neg = sample_negatives(k_neg, rel_pos, lo, hi, neg_num)
-
-        def rel_loss(m):
-            rv, rl = m["rv_ent"], m["rel"]
-            if use_tp and rv.shape[0] % tp == 0 and rl.shape[0] % tp == 0:
-                lk = tp_gather_norm
-            else:
-                lk = lookup_norm
-            return relation_logistic_loss(
-                lk(rv, rel_pos[:, 0]), lk(rl, rel_pos[:, 1]),
-                lk(rv, rel_pos[:, 2]), lk(rv, neg[:, 0]),
-                lk(rl, neg[:, 1]), lk(rv, neg[:, 2]))
-
-        def attr_loss(m):
-            phs = lookup_norm(m["av_ent"], attr_pos[:, 0])
-            pas = m["attr"][attr_pos[:, 1]]
-            pvs = constants["literal_embeds"][attr_pos[:, 2]]
-            score = conv_score(m["conv_av"], phs, pas, pvs)
-            return positive_logistic_from_scores(score, weights=attr_w)
-
-        def cs_loss(m):
-            final = lookup_norm(m["ent"], cs_ents)
-            names = constants["name_embeds"][cs_ents]
-            cr = lookup_norm(m["rv_ent"], cs_ents)
-            ca = lookup_norm(m["av_ent"], cs_ents)
-            return cfg.cv_weight * (cfg.cv_name_weight
-                                    * alignment_loss(final, names)
-                                    + alignment_loss(final, cr)
-                                    + alignment_loss(final, ca))
-
-        metrics = {}
-        params, opt_states["rel_view"], metrics["rel_loss"] = apply_stream(
-            params, opt_states["rel_view"], "rel_view", rel_loss)
-        params, opt_states["attr_view"], metrics["attr_loss"] = apply_stream(
-            params, opt_states["attr_view"], "attr_view", attr_loss)
-        params, opt_states["common_space"], metrics["cs_loss"] = apply_stream(
-            params, opt_states["common_space"], "common_space", cs_loss)
-        return params, opt_states, key, metrics
-
-    bsh = batch_sharding(mesh)
-    rep = replicated(mesh)
-    step_fn = jax.jit(
-        step,
-        in_shardings=(None, None, rep, None, bsh, bsh, bsh, bsh),
-        donate_argnums=(0, 1),
-    )
-    return step_fn, opt_init
 
 
 def make_sharded_rank(mesh):
@@ -164,42 +60,91 @@ def make_sharded_rank(mesh):
     return ranker
 
 
-def dryrun(n_devices: int, dim: int = 8, entities: int = 64, relations: int = 8,
-           attributes: int = 5, literals: int = 16, batch: int = 32) -> Dict:
-    """Compile + execute one SPMD step on tiny shapes over an n-device mesh.
+def dryrun(n_devices: int, dim: int = 8, entities: int = 64,
+           relations: int = 8, attributes: int = 5, literals: int = 16) -> Dict:
+    """One epoch of each of the 8 training streams on an n-device mesh.
 
-    Used by the driver's multichip validation (see __graft_entry__)."""
+    Tiny shapes; used by the driver's multichip validation (see
+    __graft_entry__). Returns per-stream losses (all asserted finite)."""
     tp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
     dp = n_devices // tp
-    mesh = make_mesh(dp, tp)
-    cfg = Config(dim=dim, neg_triple_num=2)
+    cfg = Config(dim=dim, batch_size=16, entity_batch_size=16,
+                 attribute_batch_size=16, neg_triple_num=2,
+                 learning_rate=0.05, mesh_dp=dp, mesh_tp=tp)
+    pctx = MeshContext.from_config(cfg)   # None when n_devices == 1
+
     params = init_params(cfg, entities, relations, attributes)
-    params = shard_params(params, mesh)
-    step_fn, opt_init = make_spmd_train_step(cfg, mesh, entities)
-    opt_states = opt_init(params)
+    if pctx is not None:
+        if pctx.tp > 1:
+            for t in ROW_SHARDED_TABLES:
+                params[t] = pctx.pad_table_rows(params[t])
+        opt_states = streams.init_stream_opt_states(cfg, params, pctx=pctx)
+        params = pctx.shard_params(params)
+        opt_states = pctx.shard_stream_opt_states(opt_states)
+    else:
+        opt_states = streams.init_stream_opt_states(cfg, params)
 
     rng = np.random.RandomState(0)
-    rel_pos = jnp.asarray(
-        rng.randint(0, [entities, relations, entities], size=(batch, 3)),
-        jnp.int32)
-    attr_pos = jnp.asarray(
-        rng.randint(0, [entities, attributes, literals], size=(batch, 3)),
-        jnp.int32)
-    attr_w = jnp.ones((batch,), jnp.float32)
-    cs_ents = jnp.asarray(rng.randint(0, entities, size=(batch,)), jnp.int32)
+    n_tri = 48
+    half = entities // 2
+    t1 = np.stack([rng.randint(0, half, n_tri),
+                   rng.randint(0, relations, n_tri),
+                   rng.randint(0, half, n_tri)], 1).astype(np.int32)
+    t2 = np.stack([rng.randint(half, entities, n_tri),
+                   rng.randint(0, relations, n_tri),
+                   rng.randint(half, entities, n_tri)], 1).astype(np.int32)
+    attr_t = np.stack([rng.randint(0, entities, n_tri),
+                       rng.randint(0, attributes, n_tri),
+                       rng.randint(0, literals, n_tri)], 1).astype(np.int32)
+    weights = np.abs(rng.randn(n_tri)).astype(np.float32)
+    ents = rng.permutation(entities)[:32].astype(np.int32)
     constants = {
         "name_embeds": jnp.asarray(rng.randn(entities, dim), jnp.float32),
         "literal_embeds": jnp.asarray(rng.randn(literals, dim), jnp.float32),
     }
+    if pctx is not None:
+        constants = pctx.replicate(constants)
     key = jax.random.PRNGKey(0)
-    params, opt_states, key, metrics = step_fn(
-        params, opt_states, key, constants, rel_pos, attr_pos, attr_w, cs_ents)
-    metrics = {k: float(v) for k, v in metrics.items()}
-    for v in metrics.values():
-        assert np.isfinite(v), metrics
+    metrics: Dict[str, float] = {}
+
+    def run(stream, fn_steps, *data):
+        nonlocal key
+        epoch_fn = fn_steps[0]
+        new_p, new_o, k2, loss = epoch_fn(params, opt_states[stream], key,
+                                          *data)
+        params.update(new_p)
+        opt_states[stream] = new_o
+        key = k2
+        metrics[stream] = float(loss)
+
+    jt1, jt2 = jnp.asarray(t1), jnp.asarray(t2)
+    ranges = ((0, half), (half, entities))
+    run("rel_view", streams.build_rel_view_epoch(
+        cfg, n_tri, n_tri, ranges, with_neighbors=False, pctx=pctx), jt1, jt2)
+    run("attr_view", streams.build_attr_view_epoch(cfg, n_tri, n_tri, pctx=pctx),
+        constants, jnp.asarray(attr_t), jnp.asarray(weights),
+        jnp.asarray(attr_t), jnp.asarray(weights))
+    run("ckge_rel", streams.build_ckge_rel_epoch(cfg, n_tri, pctx=pctx), jt1)
+    run("ckgp_rel", streams.build_ckgp_rel_epoch(cfg, n_tri, pctx=pctx),
+        jt1, jnp.asarray(weights))
+    run("ckge_attr", streams.build_ckge_attr_epoch(cfg, n_tri, pctx=pctx),
+        constants, jnp.asarray(attr_t))
+    run("ckga_attr", streams.build_ckga_attr_epoch(cfg, n_tri, pctx=pctx),
+        constants, jnp.asarray(attr_t), jnp.asarray(weights))
+    run("common_space", streams.build_common_space_epoch(
+        cfg, len(ents), pctx=pctx), constants, jnp.asarray(ents))
+    run("space_mapping", streams.build_space_mapping_epoch(
+        cfg, len(ents), pctx=pctx), constants, jnp.asarray(ents))
+
+    for k, v in metrics.items():
+        assert np.isfinite(v), (k, metrics)
+
+    if pctx is None:
+        return metrics
 
     # sharded eval step: ranks computed with rows split across the mesh
-    ranker = make_sharded_rank(mesh)
+    ranker = make_sharded_rank(pctx.mesh)
+    batch = 32
     e1 = jnp.asarray(rng.randn(batch, dim), jnp.float32)
     e2 = jnp.concatenate([e1, jnp.asarray(rng.randn(batch, dim), jnp.float32)])
     gold_idx = jnp.arange(batch, dtype=jnp.int32)

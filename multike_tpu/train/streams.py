@@ -11,19 +11,27 @@ scalars, vs. the reference's per-step feed_dict crossing.
 Per-stream optimizer semantics: TF's sparse Adagrad update from
 ``embedding_lookup`` gradients only touches the gathered rows; dense Adagrad
 with zero gradients elsewhere leaves those accumulators unchanged, so the two
-are equivalent. Each stream owns an ``optax.adagrad(initial_accumulator=0.1)``
-state over exactly the variables that stream trains:
+are equivalent. Each stream is written as (prep, loss_fn) — ``prep`` builds
+the row-id vectors (sampling included), ``loss_fn`` consumes pre-gathered RAW
+rows — so the update can run on either of two identical-math paths:
 
-  stream          vars (MultiKE_model.py cite)
-  rel_view        rv_ent, rel                (114-132)
-  ckge_rel        rv_ent, rel                (158-170)
-  ckgp_rel        rv_ent, rel                (187-201)
-  attr_view       av_ent, attr, conv_av      (134-151)
-  ckge_attr       av_ent, attr, conv_ckge    (172-185)
-  ckga_attr       av_ent, attr, conv_ckga    (203-221)
-  common_space    ent, rv_ent, av_ent        (225-239; no var_list => grads
-                                              flow to every touched trainable)
-  space_mapping   ent, nv/rv/av_mapping      (241-261; var_list='shared*')
+  * row-sparse Adagrad (default, train/sparse_adagrad.py): gradients are
+    taken w.r.t. the gathered rows and applied to only those rows — O(B*d)
+    HBM traffic per step, flat in table size;
+  * dense optax (``row_sparse_updates=False`` or a non-Adagrad optimizer):
+    gradients flow through the gather to the full tables.
+
+Stream variable ownership (MultiKE_model.py cites):
+
+  stream          vars (row-sparse table | dense)
+  rel_view        rv_ent | rel                (114-132)
+  ckge_rel        rv_ent | rel                (158-170)
+  ckgp_rel        rv_ent | rel                (187-201)
+  attr_view       av_ent | attr, conv_av      (134-151)
+  ckge_attr       av_ent | attr, conv_ckge    (172-185)
+  ckga_attr       av_ent | attr, conv_ckga    (203-221)
+  common_space    ent, rv_ent, av_ent | -     (225-239)
+  space_mapping   ent | nv/rv/av_mapping      (241-261; var_list='shared*')
 """
 from __future__ import annotations
 
@@ -39,23 +47,45 @@ from multike_tpu.config import Config
 from multike_tpu.losses import (alignment_loss, positive_logistic_from_scores,
                                 relation_logistic_loss_wo_negs,
                                 space_mapping_loss)
-from multike_tpu.params import lookup_norm
-from multike_tpu.views.attr_conv import conv_score
+from multike_tpu.params import l2_normalize, lookup_norm, lookup_norm_fast
+from multike_tpu.train import sparse_adagrad
+
+# stream -> (row_tables, dense_names); STREAM_VARS preserves the flat view.
+STREAM_SPEC: Dict[str, Tuple[Tuple[str, ...], Tuple[str, ...]]] = {
+    "rel_view": (("rv_ent",), ("rel",)),
+    "ckge_rel": (("rv_ent",), ("rel",)),
+    "ckgp_rel": (("rv_ent",), ("rel",)),
+    "attr_view": (("av_ent",), ("attr", "conv_av")),
+    "ckge_attr": (("av_ent",), ("attr", "conv_ckge")),
+    "ckga_attr": (("av_ent",), ("attr", "conv_ckga")),
+    "common_space": (("ent", "rv_ent", "av_ent"), ()),
+    "space_mapping": (("ent",), ("nv_mapping", "rv_mapping", "av_mapping")),
+}
 
 STREAM_VARS: Dict[str, Tuple[str, ...]] = {
-    "rel_view": ("rv_ent", "rel"),
-    "ckge_rel": ("rv_ent", "rel"),
-    "ckgp_rel": ("rv_ent", "rel"),
-    "attr_view": ("av_ent", "attr", "conv_av"),
-    "ckge_attr": ("av_ent", "attr", "conv_ckge"),
-    "ckga_attr": ("av_ent", "attr", "conv_ckga"),
-    "common_space": ("ent", "rv_ent", "av_ent"),
-    "space_mapping": ("ent", "nv_mapping", "rv_mapping", "av_mapping"),
-}
+    s: rows + dense for s, (rows, dense) in STREAM_SPEC.items()}
+
+
+def use_row_sparse(cfg: Config, table_rows: int) -> bool:
+    """Row-sparse vs dense-optax update path, per entity-table size (see
+    Config.row_sparse_updates for the measured crossover)."""
+    if cfg.optimizer != "Adagrad":
+        return False
+    mode = cfg.row_sparse_updates
+    if mode in (True, "on", "true"):
+        return True
+    if mode in (False, "off", "false"):
+        return False
+    return table_rows >= cfg.row_sparse_min_rows
+
+
+def stream_lr(cfg: Config, stream: str) -> float:
+    return cfg.ITC_learning_rate if stream == "common_space" \
+        else cfg.learning_rate
 
 
 def stream_optimizer(cfg: Config, stream: str) -> optax.GradientTransformation:
-    lr = cfg.ITC_learning_rate if stream == "common_space" else cfg.learning_rate
+    lr = stream_lr(cfg, stream)
     if cfg.optimizer == "Adagrad":
         return optax.adagrad(lr, initial_accumulator_value=0.1)
     if cfg.optimizer == "Adam":
@@ -65,11 +95,19 @@ def stream_optimizer(cfg: Config, stream: str) -> optax.GradientTransformation:
     return optax.sgd(lr)
 
 
-def init_stream_opt_states(cfg: Config, params) -> Dict[str, optax.OptState]:
+def init_stream_opt_states(cfg: Config, params, pctx=None) -> Dict:
+    """Per-stream optimizer states. Mesh mode (``pctx``) always uses the
+    row-sparse Adagrad state (plain accumulator dicts) — the mesh update path
+    requires it (see _make_stream_update)."""
     states = {}
     for stream, names in STREAM_VARS.items():
         sub = {k: params[k] for k in names}
-        states[stream] = stream_optimizer(cfg, stream).init(sub)
+        rows = params[STREAM_SPEC[stream][0][0]].shape[0]
+        if pctx is not None or use_row_sparse(cfg, rows):
+            states[stream] = {k: sparse_adagrad.init_acc(v)
+                              for k, v in sub.items()}
+        else:
+            states[stream] = stream_optimizer(cfg, stream).init(sub)
     return states
 
 
@@ -81,23 +119,89 @@ def _merged(params, subset):
     return out
 
 
-def _make_update(cfg: Config, stream: str, loss_of_merged):
-    """Build (params, opt_state, batch...) -> (params, opt_state, loss)."""
+def _make_stream_update(cfg: Config, stream: str, prep, loss_fn, pctx=None):
+    """Build (params, opt_state, *batch) -> (params, opt_state, loss).
+
+    ``prep(*batch) -> (ids, aux)``: param-independent work — negative
+    sampling, Bloom keep masks, row-id assembly. ``ids`` maps each row-sparse
+    table name to its (N,) id vector.
+
+    ``loss_fn(rows, dense, stopped, aux, *batch) -> loss``:
+      rows[t]  — RAW gathered rows ``table[ids[t]]`` (normalize inside);
+      dense[k] — full small params (rel/attr tables, conv, mappings);
+      stopped  — all params under stop_gradient, for frozen reads ONLY
+                 (reads of a trained var must go through rows/dense).
+
+    ``pctx`` (parallel.context.MeshContext) engages the ('dp','tp') mesh:
+    batch id vectors are dp-sharded (GSPMD slices the loss region; the psum
+    of the scalar loss and of the small dense grads is inserted by XLA),
+    row gathers honor tp row-sharding (masked gather + psum over 'tp'), and
+    the row-sparse apply all-gathers only the (id, row-grad) pairs over 'dp'
+    — O(batch*d) ICI bytes per step, no dense-table gradient ever exists.
+    Mesh mode therefore requires the row-sparse Adagrad path.
+    """
+    row_tables, dense_names = STREAM_SPEC[stream]
+    lr = stream_lr(cfg, stream)
     opt = stream_optimizer(cfg, stream)
-    names = STREAM_VARS[stream]
+    names = row_tables + dense_names
+    if pctx is not None:
+        assert cfg.optimizer == "Adagrad" and \
+            cfg.row_sparse_updates not in (False, "off", "false"), \
+            "mesh training runs on the row-sparse Adagrad path"
 
     def update(params, opt_state, *batch):
+        sparse = pctx is not None or use_row_sparse(
+            cfg, params[row_tables[0]].shape[0])
+        ids, aux = prep(*batch)
+
+        if sparse:
+            from multike_tpu.parallel.context import (gather_rows,
+                                                      row_apply_sharded,
+                                                      shard_dp)
+
+            if pctx is not None:
+                ids = {t: shard_dp(pctx, v) for t, v in ids.items()}
+                rows = {t: gather_rows(pctx, t, params[t], ids[t])
+                        for t in row_tables}
+            else:
+                rows = {t: params[t][ids[t]] for t in row_tables}
+            dense = {k: params[k] for k in dense_names}
+            stopped = jax.tree_util.tree_map(jax.lax.stop_gradient, params)
+
+            def f(rows_, dense_):
+                return loss_fn(rows_, dense_, stopped, aux, *batch)
+
+            loss, (g_rows, g_dense) = jax.value_and_grad(
+                f, argnums=(0, 1))(rows, dense)
+            params = dict(params)
+            opt_state = dict(opt_state)
+            for t in row_tables:
+                if pctx is not None:
+                    params[t], opt_state[t] = row_apply_sharded(
+                        pctx, t, params[t], opt_state[t], ids[t],
+                        g_rows[t], lr)
+                else:
+                    params[t], opt_state[t] = sparse_adagrad.row_apply(
+                        params[t], opt_state[t], ids[t], g_rows[t], lr)
+            for k in dense_names:
+                params[k], opt_state[k] = sparse_adagrad.dense_apply(
+                    params[k], opt_state[k], g_dense[k], lr)
+            return params, opt_state, loss
+
         subset = {k: params[k] for k in names}
 
-        def loss_fn(sub):
-            return loss_of_merged(_merged(params, sub), *batch)
+        def f(sub):
+            merged = _merged(params, sub)
+            rows = {t: merged[t][ids[t]] for t in row_tables}
+            dense = {k: merged[k] for k in dense_names}
+            return loss_fn(rows, dense, merged, aux, *batch)
 
-        loss, grads = jax.value_and_grad(loss_fn)(subset)
-        updates, opt_state = opt.update(grads, opt_state, subset)
+        loss, grads = jax.value_and_grad(f)(subset)
+        updates, new_opt = opt.update(grads, opt_state, subset)
         subset = optax.apply_updates(subset, updates)
         params = dict(params)
         params.update(subset)
-        return params, opt_state, loss
+        return params, new_opt, loss
 
     return update
 
@@ -153,18 +257,31 @@ def _padded_epoch_indices(key, n: int, bs: int, bsp: int, steps: int):
     return idx, m
 
 
+def _split(rows, sizes):
+    out, off = [], 0
+    for sz in sizes:
+        out.append(rows[off:off + sz])
+        off += sz
+    return out
+
+
 def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                          ranges: Tuple[Tuple[int, int], Tuple[int, int]],
-                         with_neighbors: bool = True, tfilter=None):
+                         with_neighbors: bool = True, tfilter=None,
+                         pctx=None):
     """Relation-view TransE epoch (MultiKE_model.py:114-132).
 
     Each KG's sub-batch is processed in its own id range (the reference
     concatenates them — the loss is a sum either way). Two negative schemes
     (cfg.neg_scheme):
 
-      * ``chunk_shared`` — chunks of positives share candidate pools;
-        scoring/gradients ride the MXU (losses.chunk_shared_relation_
-        logistic_loss). Used whenever neighbor-truncated sampling is off.
+      * ``chunk_shared`` — chunks of positives share two candidate pools of
+        C = cfg.neg_pool_size (default neg_triple_num) uniform draws each
+        (head-corruption + tail-corruption); every positive scores against
+        all 2C pool members at pair weight K/(2C), the same estimator as the
+        reference's K coin-mixed per-slot draws with lower variance
+        (losses.chunk_shared_relation_logistic_loss). Scoring and gradients
+        ride the MXU. Used whenever neighbor-truncated sampling is off.
       * ``per_slot`` — reference-exact iid candidates per slot in the lean
         layout (negatives reuse positive rows). Always used with neighbors.
 
@@ -177,7 +294,6 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     reference's give-up-after-10 loop (base/batch.py:103-105)."""
     from multike_tpu.losses import (chunk_shared_relation_logistic_loss,
                                     lean_relation_logistic_loss)
-    from multike_tpu.params import lookup_norm_fast
     from multike_tpu.sampling import (sample_corruptions,
                                       sample_shared_corruptions,
                                       triple_filter_contains)
@@ -187,69 +303,47 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     (lo1, hi1), (lo2, hi2) = ranges
     neg_num = cfg.neg_triple_num
     use_chunks = (cfg.neg_scheme == "chunk_shared") and not with_neighbors
+    pool = cfg.neg_pool_size or neg_num      # candidates per shared pool (C)
+    neg_w = neg_num / (2.0 * pool)           # K/(2C), see docstring
     if use_chunks:
         nc1, s1 = _chunk_layout(bs1, cfg.neg_chunk_size)
         nc2, s2 = _chunk_layout(bs2, cfg.neg_chunk_size)
         bsp1, bsp2 = nc1 * s1, nc2 * s2
+        sizes = [bsp1, bsp1, nc1 * pool, nc1 * pool,
+                 bsp2, bsp2, nc2 * pool, nc2 * pool]
     else:
         bsp1, bsp2 = bs1, bs2
+        sizes = [bsp1, bsp1, bsp1 * neg_num, bsp2, bsp2, bsp2 * neg_num]
+
+    def chunk_keep_masks(trip, ch, ct, nc, s):
+        """Bloom keep masks for the two candidate pools, each (nc, s, C):
+        keep_h[c,i,j] = 0 iff (ch[c,j], r_i, t_i) is possibly a true triple,
+        keep_t[c,i,j] = 0 iff (h_i, r_i, ct[c,j]) is. Exact rejection with no
+        resampling loop — offending pairs are dropped from the negative sum
+        (stronger than the reference's give-up-after-10 retries,
+        base/batch.py:103-105)."""
+        if tfilter is None or cfg.neg_rejection_tries <= 0:
+            return None, None
+        h = trip[:, 0].reshape(nc, s)[..., None]
+        r = trip[:, 1].reshape(nc, s)[..., None]
+        t = trip[:, 2].reshape(nc, s)[..., None]
+        bad_h = triple_filter_contains(tfilter, ch[:, None, :], r, t)
+        bad_t = triple_filter_contains(tfilter, h, r, ct[:, None, :])
+        return (1.0 - bad_h.astype(jnp.float32),
+                1.0 - bad_t.astype(jnp.float32))
 
     # All entity-row reads across both KGs (positives + candidates) go
-    # through ONE fused gather: its backward pass is then a single row
-    # scatter into one gradient table. Naive per-lookup autodiff emits one
-    # dense zeros+scatter per gather (8 per step here) and sums the dense
-    # tables — measured ~2.5x slower on a v5p-class chip.
-    def _split(rows, sizes):
-        out, off = [], 0
-        for sz in sizes:
-            out.append(rows[off:off + sz])
-            off += sz
-        return out
-
-    def chunk_pair_keep(trip, hb, ch, ct, nc, s):
-        if tfilter is None or cfg.neg_rejection_tries <= 0:
-            return None
-        h = trip[:, 0].reshape(nc, s)
-        r = trip[:, 1].reshape(nc, s)
-        t = trip[:, 2].reshape(nc, s)
-        neg_h = jnp.where(hb, ch[:, None, :], h[..., None])
-        neg_t = jnp.where(hb, t[..., None], ct[:, None, :])
-        is_true = triple_filter_contains(tfilter, neg_h, r[..., None], neg_t)
-        return 1.0 - is_true.astype(jnp.float32)
-
-    def loss_of(merged, t1b, m1, k1, t2b, m2, k2, nbr):
-        rv = merged["rv_ent"]
-        dim = rv.shape[1]
-        prs_all = lookup_norm_fast(merged["rel"],
-                                   jnp.concatenate([t1b[:, 1], t2b[:, 1]]))
-        prs1, prs2 = prs_all[:t1b.shape[0]], prs_all[t1b.shape[0]:]
-        loss = jnp.float32(0.0)
+    # through ONE fused gather; with row-sparse updates its gradient is
+    # likewise ONE row-sparse apply. (Naive per-lookup autodiff emits one
+    # dense zeros+scatter per gather — measured ~2.5x slower per step.)
+    def prep(t1b, m1, k1, t2b, m2, k2, nbr):
         if use_chunks:
-            kc1, kb1 = jax.random.split(k1)
-            ch1, ct1 = sample_shared_corruptions(kc1, nc1, neg_num, lo1, hi1)
-            hb1 = jax.random.bernoulli(kb1, 0.5, (nc1, s1, neg_num))
-            kc2, kb2 = jax.random.split(k2)
-            ch2, ct2 = sample_shared_corruptions(kc2, nc2, neg_num, lo2, hi2)
-            hb2 = jax.random.bernoulli(kb2, 0.5, (nc2, s2, neg_num))
+            ch1, ct1 = sample_shared_corruptions(k1, nc1, pool, lo1, hi1)
+            ch2, ct2 = sample_shared_corruptions(k2, nc2, pool, lo2, hi2)
             parts = [t1b[:, 0], t1b[:, 2], ch1.ravel(), ct1.ravel(),
                      t2b[:, 0], t2b[:, 2], ch2.ravel(), ct2.ravel()]
-            rows = lookup_norm(rv, jnp.concatenate(parts))
-            (ph1, pt1, ch1r, ct1r,
-             ph2, pt2, ch2r, ct2r) = _split(rows, [p.shape[0] for p in parts])
-            if bs1 > 0:
-                loss += chunk_shared_relation_logistic_loss(
-                    ph1.reshape(nc1, s1, dim), prs1.reshape(nc1, s1, dim),
-                    pt1.reshape(nc1, s1, dim),
-                    ch1r.reshape(nc1, neg_num, dim),
-                    ct1r.reshape(nc1, neg_num, dim), hb1, m1.reshape(nc1, s1),
-                    chunk_pair_keep(t1b, hb1, ch1, ct1, nc1, s1))
-            if bs2 > 0:
-                loss += chunk_shared_relation_logistic_loss(
-                    ph2.reshape(nc2, s2, dim), prs2.reshape(nc2, s2, dim),
-                    pt2.reshape(nc2, s2, dim),
-                    ch2r.reshape(nc2, neg_num, dim),
-                    ct2r.reshape(nc2, neg_num, dim), hb2, m2.reshape(nc2, s2),
-                    chunk_pair_keep(t2b, hb2, ch2, ct2, nc2, s2))
+            aux = (chunk_keep_masks(t1b, ch1, ct1, nc1, s1),
+                   chunk_keep_masks(t2b, ch2, ct2, nc2, s2))
         else:
             cand1, hb1 = sample_corruptions(k1, t1b, lo1, hi1, neg_num, nbr,
                                             tfilter=tfilter,
@@ -259,9 +353,39 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                                             retries=cfg.neg_rejection_tries)
             parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
                      t2b[:, 0], t2b[:, 2], cand2.ravel()]
-            rows = lookup_norm(rv, jnp.concatenate(parts))
-            (ph1, pt1, c1r,
-             ph2, pt2, c2r) = _split(rows, [p.shape[0] for p in parts])
+            aux = (hb1, hb2)
+        return {"rv_ent": jnp.concatenate(parts)}, aux
+
+    def loss_fn(rows, dense, stopped, aux, t1b, m1, k1, t2b, m2, k2, nbr):
+        dim = rows["rv_ent"].shape[-1]
+        rv_rows = l2_normalize(rows["rv_ent"], axis=-1)
+        prs_all = lookup_norm_fast(dense["rel"],
+                                   jnp.concatenate([t1b[:, 1], t2b[:, 1]]))
+        prs1, prs2 = prs_all[:t1b.shape[0]], prs_all[t1b.shape[0]:]
+        loss = jnp.float32(0.0)
+        if use_chunks:
+            (keep1, keep2) = aux
+            (ph1, pt1, ch1r, ct1r,
+             ph2, pt2, ch2r, ct2r) = _split(rv_rows, sizes)
+            if bs1 > 0:
+                loss += chunk_shared_relation_logistic_loss(
+                    ph1.reshape(nc1, s1, dim), prs1.reshape(nc1, s1, dim),
+                    pt1.reshape(nc1, s1, dim),
+                    ch1r.reshape(nc1, pool, dim),
+                    ct1r.reshape(nc1, pool, dim),
+                    neg_weight=neg_w, pos_mask=m1.reshape(nc1, s1),
+                    keep_h=keep1[0], keep_t=keep1[1])
+            if bs2 > 0:
+                loss += chunk_shared_relation_logistic_loss(
+                    ph2.reshape(nc2, s2, dim), prs2.reshape(nc2, s2, dim),
+                    pt2.reshape(nc2, s2, dim),
+                    ch2r.reshape(nc2, pool, dim),
+                    ct2r.reshape(nc2, pool, dim),
+                    neg_weight=neg_w, pos_mask=m2.reshape(nc2, s2),
+                    keep_h=keep2[0], keep_t=keep2[1])
+        else:
+            hb1, hb2 = aux
+            (ph1, pt1, c1r, ph2, pt2, c2r) = _split(rv_rows, sizes)
             if bs1 > 0:
                 loss += lean_relation_logistic_loss(
                     ph1, prs1, pt1, c1r.reshape(bsp1, neg_num, dim), hb1, m1)
@@ -270,7 +394,7 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                     ph2, prs2, pt2, c2r.reshape(bsp2, neg_num, dim), hb2, m2)
         return loss
 
-    update = _make_update(cfg, "rel_view", loss_of)
+    update = _make_stream_update(cfg, "rel_view", prep, loss_fn, pctx)
 
     def epoch_impl(params, opt_state, key, triples1, triples2, nbr):
         key, ki1, ki2 = jax.random.split(key, 3)
@@ -303,22 +427,27 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     return epoch, steps, trained_per_epoch
 
 
-def build_attr_view_epoch(cfg: Config, n1: int, n2: int):
+def build_attr_view_epoch(cfg: Config, n1: int, n2: int, pctx=None):
     """Attribute view: weighted positives only (neg_triples_num=0,
     MultiKE_model.py:324-331). Steps counted with ``batch_size`` but slices
     sized with ``attribute_batch_size`` — a reference quirk
     (MultiKE_Late.py:206 vs MultiKE_model.py:330)."""
+    from multike_tpu.views.attr_conv import conv_score
+
     steps = int(np.ceil((n1 + n2) / cfg.batch_size))
     bs1, bs2 = proportional_sizes(n1, n2, cfg.attribute_batch_size)
 
-    def loss_of(merged, constants, trip, w, mask):
-        phs = lookup_norm(merged["av_ent"], trip[:, 0])
-        pas = merged["attr"][trip[:, 1]]          # unnormalized (important!)
+    def prep(constants, trip, w, mask):
+        return {"av_ent": trip[:, 0]}, None
+
+    def loss_fn(rows, dense, stopped, aux, constants, trip, w, mask):
+        phs = l2_normalize(rows["av_ent"], axis=-1)
+        pas = dense["attr"][trip[:, 1]]          # unnormalized (important!)
         pvs = constants["literal_embeds"][trip[:, 2]]
-        score = conv_score(merged["conv_av"], phs, pas, pvs, mask=mask)
+        score = conv_score(dense["conv_av"], phs, pas, pvs, mask=mask)
         return positive_logistic_from_scores(score, weights=w, mask=mask)
 
-    update = _make_update(cfg, "attr_view", loss_of)
+    update = _make_stream_update(cfg, "attr_view", prep, loss_fn, pctx)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch(params, opt_state, key, constants, trips1, w1, trips2, w2):
@@ -343,9 +472,9 @@ def build_attr_view_epoch(cfg: Config, n1: int, n2: int):
     return epoch, steps, trained_per_epoch
 
 
-def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
-                   with_weights: bool, needs_constants: bool,
-                   steps: int | None = None):
+def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int,
+                   prep, loss_fn, with_weights: bool, needs_constants: bool,
+                   steps: int | None = None, pctx=None):
     """Shared builder for streams that draw ``random.sample`` batches each
     step (MultiKE_model.py:349-473): ckge_rel, ckgp_rel, ckge_attr,
     ckga_attr, common_space, space_mapping.
@@ -356,7 +485,7 @@ def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
     if steps is None:
         steps = max(1, int(np.ceil(n / batch_size)))
     bs = batch_size if steps > 1 else n
-    update = _make_update(cfg, stream, loss_of)
+    update = _make_stream_update(cfg, stream, prep, loss_fn, pctx)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch(params, opt_state, key, *data):
@@ -388,102 +517,118 @@ def _sampled_epoch(cfg: Config, stream: str, n: int, batch_size: int, loss_of,
     return epoch, steps, steps * bs
 
 
-def build_ckge_rel_epoch(cfg: Config, n: int, steps: int | None = None):
-    from multike_tpu.params import lookup_norm_fast
+def build_ckge_rel_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
+    def prep(pos):
+        # one fused entity gather -> one row-sparse apply
+        return {"rv_ent": jnp.concatenate([pos[:, 0], pos[:, 2]])}, None
 
-    def loss_of(merged, pos):
-        # one fused entity gather -> one scatter in the backward pass
-        rows = lookup_norm(merged["rv_ent"],
-                           jnp.concatenate([pos[:, 0], pos[:, 2]]))
-        phs, pts = rows[:pos.shape[0]], rows[pos.shape[0]:]
-        prs = lookup_norm_fast(merged["rel"], pos[:, 1])
+    def loss_fn(rows, dense, stopped, aux, pos):
+        hrows = l2_normalize(rows["rv_ent"], axis=-1)
+        phs, pts = hrows[:pos.shape[0]], hrows[pos.shape[0]:]
+        prs = lookup_norm_fast(dense["rel"], pos[:, 1])
         return 2.0 * relation_logistic_loss_wo_negs(phs, prs, pts)
 
-    return _sampled_epoch(cfg, "ckge_rel", n, cfg.batch_size, loss_of,
+    return _sampled_epoch(cfg, "ckge_rel", n, cfg.batch_size, prep, loss_fn,
                           with_weights=False, needs_constants=False,
-                          steps=steps)
+                          steps=steps, pctx=pctx)
 
 
-def build_ckgp_rel_epoch(cfg: Config, n: int, steps: int | None = None):
+def build_ckgp_rel_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
     from multike_tpu.losses import logistic_loss_wo_negs
 
-    def loss_of(merged, pos, w):
-        from multike_tpu.params import lookup_norm_fast
+    def prep(pos, w):
+        return {"rv_ent": jnp.concatenate([pos[:, 0], pos[:, 2]])}, None
 
-        rows = lookup_norm(merged["rv_ent"],
-                           jnp.concatenate([pos[:, 0], pos[:, 2]]))
-        phs, pts = rows[:pos.shape[0]], rows[pos.shape[0]:]
-        prs = lookup_norm_fast(merged["rel"], pos[:, 1])
+    def loss_fn(rows, dense, stopped, aux, pos, w):
+        hrows = l2_normalize(rows["rv_ent"], axis=-1)
+        phs, pts = hrows[:pos.shape[0]], hrows[pos.shape[0]:]
+        prs = lookup_norm_fast(dense["rel"], pos[:, 1])
         return 2.0 * logistic_loss_wo_negs(phs, prs, pts, w)
 
-    return _sampled_epoch(cfg, "ckgp_rel", n, cfg.batch_size, loss_of,
+    return _sampled_epoch(cfg, "ckgp_rel", n, cfg.batch_size, prep, loss_fn,
                           with_weights=True, needs_constants=False,
-                          steps=steps)
+                          steps=steps, pctx=pctx)
 
 
-def build_ckge_attr_epoch(cfg: Config, n: int, steps: int | None = None):
-    def loss_of(merged, constants, pos):
-        phs = lookup_norm(merged["av_ent"], pos[:, 0])
-        pas = merged["attr"][pos[:, 1]]
+def build_ckge_attr_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
+    from multike_tpu.views.attr_conv import conv_score
+
+    def prep(constants, pos):
+        return {"av_ent": pos[:, 0]}, None
+
+    def loss_fn(rows, dense, stopped, aux, constants, pos):
+        phs = l2_normalize(rows["av_ent"], axis=-1)
+        pas = dense["attr"][pos[:, 1]]
         pvs = constants["literal_embeds"][pos[:, 2]]
-        score = conv_score(merged["conv_ckge"], phs, pas, pvs)
+        score = conv_score(dense["conv_ckge"], phs, pas, pvs)
         return 2.0 * positive_logistic_from_scores(score)
 
     return _sampled_epoch(cfg, "ckge_attr", n, cfg.attribute_batch_size,
-                          loss_of, with_weights=False, needs_constants=True,
-                          steps=steps)
+                          prep, loss_fn, with_weights=False,
+                          needs_constants=True, steps=steps, pctx=pctx)
 
 
-def build_ckga_attr_epoch(cfg: Config, n: int, steps: int | None = None):
-    def loss_of(merged, constants, pos, w):
-        phs = lookup_norm(merged["av_ent"], pos[:, 0])
-        pas = merged["attr"][pos[:, 1]]
+def build_ckga_attr_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
+    from multike_tpu.views.attr_conv import conv_score
+
+    def prep(constants, pos, w):
+        return {"av_ent": pos[:, 0]}, None
+
+    def loss_fn(rows, dense, stopped, aux, constants, pos, w):
+        phs = l2_normalize(rows["av_ent"], axis=-1)
+        pas = dense["attr"][pos[:, 1]]
         pvs = constants["literal_embeds"][pos[:, 2]]
-        score = conv_score(merged["conv_ckga"], phs, pas, pvs)
+        score = conv_score(dense["conv_ckga"], phs, pas, pvs)
         return positive_logistic_from_scores(score, weights=w)
 
     return _sampled_epoch(cfg, "ckga_attr", n, cfg.attribute_batch_size,
-                          loss_of, with_weights=True, needs_constants=True,
-                          steps=steps)
+                          prep, loss_fn, with_weights=True,
+                          needs_constants=True, steps=steps, pctx=pctx)
 
 
-def build_common_space_epoch(cfg: Config, n: int, steps: int | None = None):
+def build_common_space_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
     """ITC combination (MultiKE_model.py:225-239): optimize
     cv_weight * (cv_name_weight*||e-n||^2 + ||e-r||^2 + ||e-a||^2)."""
     cvw, cnw = cfg.cv_weight, cfg.cv_name_weight
 
-    def loss_of(merged, constants, ents):
-        final = lookup_norm(merged["ent"], ents)
+    def prep(constants, ents):
+        return {"ent": ents, "rv_ent": ents, "av_ent": ents}, None
+
+    def loss_fn(rows, dense, stopped, aux, constants, ents):
+        final = l2_normalize(rows["ent"], axis=-1)
         names = constants["name_embeds"][ents]
-        cr = lookup_norm(merged["rv_ent"], ents)
-        ca = lookup_norm(merged["av_ent"], ents)
+        cr = l2_normalize(rows["rv_ent"], axis=-1)
+        ca = l2_normalize(rows["av_ent"], axis=-1)
         loss = cnw * alignment_loss(final, names)
         loss += alignment_loss(final, cr)
         loss += alignment_loss(final, ca)
         return cvw * loss
 
     return _sampled_epoch(cfg, "common_space", n, cfg.entity_batch_size,
-                          loss_of, with_weights=False, needs_constants=True,
-                          steps=steps)
+                          prep, loss_fn, with_weights=False,
+                          needs_constants=True, steps=steps, pctx=pctx)
 
 
-def build_space_mapping_epoch(cfg: Config, n: int, steps: int | None = None):
+def build_space_mapping_epoch(cfg: Config, n: int, steps: int | None = None, pctx=None):
     """SSL combination (MultiKE_model.py:241-261): only 'shared' variables
-    (ent + the three mappings) receive updates."""
+    (ent + the three mappings) receive updates; rv/av are frozen reads."""
     ow = cfg.orthogonal_weight
     dim = cfg.dim
     eye = jnp.eye(dim, dtype=jnp.float32)
 
-    def loss_of(merged, constants, ents):
-        final = lookup_norm(merged["ent"], ents)
+    def prep(constants, ents):
+        return {"ent": ents}, None
+
+    def loss_fn(rows, dense, stopped, aux, constants, ents):
+        final = l2_normalize(rows["ent"], axis=-1)
         nv = constants["name_embeds"][ents]
-        rv = lookup_norm(merged["rv_ent"], ents)   # stop-grad via _merged
-        av = lookup_norm(merged["av_ent"], ents)
-        loss = space_mapping_loss(nv, final, merged["nv_mapping"], eye, ow)
-        loss += space_mapping_loss(rv, final, merged["rv_mapping"], eye, ow)
-        loss += space_mapping_loss(av, final, merged["av_mapping"], eye, ow)
+        rv = lookup_norm(stopped["rv_ent"], ents)   # frozen reads
+        av = lookup_norm(stopped["av_ent"], ents)
+        loss = space_mapping_loss(nv, final, dense["nv_mapping"], eye, ow)
+        loss += space_mapping_loss(rv, final, dense["rv_mapping"], eye, ow)
+        loss += space_mapping_loss(av, final, dense["av_mapping"], eye, ow)
         return loss
 
     return _sampled_epoch(cfg, "space_mapping", n, cfg.entity_batch_size,
-                          loss_of, with_weights=False, needs_constants=True,
-                          steps=steps)
+                          prep, loss_fn, with_weights=False,
+                          needs_constants=True, steps=steps, pctx=pctx)

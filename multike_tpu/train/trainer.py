@@ -68,12 +68,26 @@ class MultiKETrainer:
         kgs = self.kgs
         self.params = init_params(cfg, kgs.entities_num, kgs.relations_num,
                                   kgs.attributes_num)
-        self.opt_states = streams.init_stream_opt_states(cfg, self.params)
+        # ('dp','tp') mesh (parallel/context.py). With tp>1 the entity tables
+        # are row-padded to the axis size and row-sharded; everything the
+        # epoch fns do then rides the mesh (see streams._make_stream_update).
+        from multike_tpu.parallel.context import ROW_SHARDED_TABLES, MeshContext
+
+        self.pctx = MeshContext.from_config(cfg)
+        if self.pctx is not None and self.pctx.tp > 1:
+            for t in ROW_SHARDED_TABLES:
+                self.params[t] = self.pctx.pad_table_rows(self.params[t])
+        self.opt_states = streams.init_stream_opt_states(cfg, self.params,
+                                                         pctx=self.pctx)
         self.key = jax.random.PRNGKey(cfg.seed)
         self.constants = {
             "name_embeds": jnp.asarray(data.local_name_vectors, jnp.float32),
             "literal_embeds": jnp.asarray(data.value_vectors, jnp.float32),
         }
+        if self.pctx is not None:
+            self.params = self.pctx.shard_params(self.params)
+            self.opt_states = self.pctx.shard_stream_opt_states(self.opt_states)
+            self.constants = self.pctx.replicate(self.constants)
 
         self.ranges = kgs.entity_id_ranges()
         self.rel_triples1 = jnp.asarray(triples_to_array(
@@ -155,21 +169,29 @@ class MultiKETrainer:
                 n1, n2, with_nbr = shape_key
                 fn = streams.build_rel_view_epoch(cfg, n1, n2, self.ranges,
                                                   with_neighbors=with_nbr,
-                                                  tfilter=self.triple_filter)
+                                                  tfilter=self.triple_filter,
+                                                  pctx=self.pctx)
             elif kind == "attr_view":
-                fn = streams.build_attr_view_epoch(cfg, *shape_key)
+                fn = streams.build_attr_view_epoch(cfg, *shape_key,
+                                                   pctx=self.pctx)
             elif kind == "ckge_rel":
-                fn = streams.build_ckge_rel_epoch(cfg, *shape_key)
+                fn = streams.build_ckge_rel_epoch(cfg, *shape_key,
+                                                  pctx=self.pctx)
             elif kind == "ckgp_rel":
-                fn = streams.build_ckgp_rel_epoch(cfg, *shape_key)
+                fn = streams.build_ckgp_rel_epoch(cfg, *shape_key,
+                                                  pctx=self.pctx)
             elif kind == "ckge_attr":
-                fn = streams.build_ckge_attr_epoch(cfg, *shape_key)
+                fn = streams.build_ckge_attr_epoch(cfg, *shape_key,
+                                                   pctx=self.pctx)
             elif kind == "ckga_attr":
-                fn = streams.build_ckga_attr_epoch(cfg, *shape_key)
+                fn = streams.build_ckga_attr_epoch(cfg, *shape_key,
+                                                   pctx=self.pctx)
             elif kind == "common_space":
-                fn = streams.build_common_space_epoch(cfg, *shape_key)
+                fn = streams.build_common_space_epoch(cfg, *shape_key,
+                                                      pctx=self.pctx)
             elif kind == "space_mapping":
-                fn = streams.build_space_mapping_epoch(cfg, *shape_key)
+                fn = streams.build_space_mapping_epoch(cfg, *shape_key,
+                                                       pctx=self.pctx)
             else:
                 raise KeyError(kind)
             self._epoch_fns[key] = fn
@@ -209,26 +231,36 @@ class MultiKETrainer:
             "epoch {} of rel. view, avg. loss: {:.4f}, time: {:.4f}s")
 
     def _weighted_attr_arrays(self):
+        """Device-ready weighted attribute triples; rebuilt only when the
+        predicate-alignment model refreshes (every 10 epochs), not every epoch
+        — the tuple unpacking is O(n_attr_triples) of host Python."""
         pam = self.predicate_align_model
+        ver = getattr(pam, "version", 0)
+        cached = getattr(self, "_attr_arrays_cache", None)
+        if cached is not None and cached[0] == ver:
+            return cached[1]
         w1 = pam.attribute_triples_w_weights1
         w2 = pam.attribute_triples_w_weights2
-        t1 = np.asarray([(h, a, v) for (h, a, v, _) in w1], np.int32).reshape(-1, 3)
-        t2 = np.asarray([(h, a, v) for (h, a, v, _) in w2], np.int32).reshape(-1, 3)
-        f1 = np.asarray([w for (_, _, _, w) in w1], np.float32)
-        f2 = np.asarray([w for (_, _, _, w) in w2], np.float32)
-        return t1, f1, t2, f2
+        a1 = np.asarray(w1, np.float64).reshape(-1, 4)
+        a2 = np.asarray(w2, np.float64).reshape(-1, 4)
+        t1 = jnp.asarray(a1[:, :3].astype(np.int32))
+        t2 = jnp.asarray(a2[:, :3].astype(np.int32))
+        f1 = jnp.asarray(a1[:, 3].astype(np.float32))
+        f2 = jnp.asarray(a2[:, 3].astype(np.float32))
+        out = (t1, f1, t2, f2)
+        self._attr_arrays_cache = (ver, out)
+        return out
 
     def train_attribute_view_1epo(self, epoch: int):
         start = time.time()
         t1, f1, t2, f2 = self._weighted_attr_arrays()
-        n1, n2 = len(t1), len(t2)
+        n1, n2 = int(t1.shape[0]), int(t2.shape[0])
         if n1 + n2 == 0:
             return 0.0
         epoch_fn, steps, trained = self._get_epoch_fn("attr_view", n1, n2)
         self.params, self.opt_states["attr_view"], self.key, loss = epoch_fn(
             self.params, self.opt_states["attr_view"], self.key,
-            self.constants, jnp.asarray(t1), jnp.asarray(f1),
-            jnp.asarray(t2), jnp.asarray(f2))
+            self.constants, t1, f1, t2, f2)
         return self._finish_epoch(
             "attr_view", epoch, loss, trained, start,
             "epoch {} of att. view, avg. loss: {:.4f}, time: {:.4f}s")
@@ -355,14 +387,15 @@ class MultiKETrainer:
     # embedding access (normalized reads, like the reference's tensor reads)
     # ------------------------------------------------------------------
     def current_embeds(self, which: str) -> np.ndarray:
+        E = self.kgs.entities_num  # strips tp row padding, if any
         if which == "nv":
-            return np.asarray(self.constants["name_embeds"])
+            return np.asarray(self.constants["name_embeds"])[:E]
         if which == "rv":
-            return np.asarray(l2_normalize(self.params["rv_ent"], axis=1))
+            return np.asarray(l2_normalize(self.params["rv_ent"], axis=1))[:E]
         if which == "av":
-            return np.asarray(l2_normalize(self.params["av_ent"], axis=1))
+            return np.asarray(l2_normalize(self.params["av_ent"], axis=1))[:E]
         if which == "final":
-            return np.asarray(l2_normalize(self.params["ent"], axis=1))
+            return np.asarray(l2_normalize(self.params["ent"], axis=1))[:E]
         if which == "rel":
             return np.asarray(l2_normalize(self.params["rel"], axis=1))
         if which == "attr":

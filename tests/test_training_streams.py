@@ -49,56 +49,76 @@ def test_sample_negatives_uses_neighbors():
     assert set(ct.tolist()) <= {8, 9, 10}
 
 
-def test_adagrad_matches_manual_sparse_update():
-    """One rel_view step == manual TF-style Adagrad (acc0=0.1) on the rows
-    touched, identity elsewhere."""
+def test_row_adagrad_apply_matches_dense_optax():
+    """sparse_adagrad.row_apply on (possibly duplicated) batch ids ==
+    dense optax.adagrad on the scatter-summed dense gradient. Duplicate ids
+    must combine BEFORE squaring (TF1 IndexedSlices semantics)."""
     import optax
 
-    from multike_tpu.params import init_params, l2_normalize
+    from multike_tpu.train import sparse_adagrad
+
+    rng = np.random.RandomState(0)
+    E, d, N = 12, 5, 9
+    param = jnp.asarray(rng.randn(E, d), jnp.float32)
+    ids = jnp.asarray(np.array([3, 7, 3, 0, 7, 7, 11, 3, 5]), jnp.int32)
+    g_rows = jnp.asarray(rng.randn(N, d), jnp.float32)
+
+    # dense reference
+    gdense = np.zeros((E, d), np.float32)
+    np.add.at(gdense, np.asarray(ids), np.asarray(g_rows))
+    opt = optax.adagrad(0.1, initial_accumulator_value=0.1)
+    st = opt.init(param)
+    upd, _ = opt.update(jnp.asarray(gdense), st, param)
+    want = np.asarray(optax.apply_updates(param, upd))
+
+    acc = sparse_adagrad.init_acc(param)
+    got, new_acc = sparse_adagrad.row_apply(param, acc, ids, g_rows, 0.1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-6, atol=1e-7)
+    # untouched rows: param and accumulator bit-identical
+    untouched = sorted(set(range(E)) - {0, 3, 5, 7, 11})
+    np.testing.assert_array_equal(np.asarray(got)[untouched],
+                                  np.asarray(param)[untouched])
+    np.testing.assert_array_equal(np.asarray(new_acc)[untouched],
+                                  np.asarray(acc)[untouched])
+
+
+@pytest.mark.parametrize("stream_cfg", ["chunk_shared", "per_slot"])
+def test_row_sparse_epoch_equals_dense_optax(stream_cfg):
+    """A rel_view epoch must produce identical parameters under the
+    row-sparse Adagrad path and the dense optax path (same RNG key =>
+    same batches/negatives; the two updates are the same math)."""
+    from multike_tpu.params import init_params
     from multike_tpu.train import streams
 
-    cfg = Config(dim=4, batch_size=4, neg_triple_num=1, learning_rate=0.1,
-                 seed=0)
-    params = init_params(cfg, entities_num=10, relations_num=3,
-                         attributes_num=2)
-    opt_states = streams.init_stream_opt_states(cfg, params)
+    E, R = 40, 5
+    rng = np.random.RandomState(1)
+    t1 = np.stack([rng.randint(0, 20, 90), rng.randint(0, R, 90),
+                   rng.randint(0, 20, 90)], 1).astype(np.int32)
+    t2 = np.stack([rng.randint(20, 40, 70), rng.randint(0, R, 70),
+                   rng.randint(20, 40, 70)], 1).astype(np.int32)
 
-    pos = jnp.asarray(np.array([[0, 0, 1], [2, 1, 3]], np.int32))
-    mask = jnp.ones(2, jnp.float32)
-    neg = jnp.asarray(np.array([[4, 0, 1], [2, 1, 5]], np.int32))
+    results = {}
+    for sparse in (True, False):
+        cfg = Config(dim=8, batch_size=32, neg_triple_num=3,
+                     learning_rate=0.05, neg_scheme=stream_cfg,
+                     neg_chunk_size=8, row_sparse_updates=sparse)
+        params = init_params(cfg, E, R, 2)
+        opt = streams.init_stream_opt_states(cfg, params)["rel_view"]
+        epoch, _, _ = streams.build_rel_view_epoch(
+            cfg, len(t1), len(t2), ((0, 20), (20, 40)),
+            with_neighbors=False)
+        key = jax.random.PRNGKey(7)
+        for _ in range(2):
+            params, opt, key, loss = epoch(params, opt, key,
+                                           jnp.asarray(t1), jnp.asarray(t2))
+        results[sparse] = (np.asarray(params["rv_ent"]),
+                           np.asarray(params["rel"]), float(loss))
 
-    def loss_fn(sub):
-        from multike_tpu.losses import relation_logistic_loss
-        from multike_tpu.params import lookup_norm
-
-        return relation_logistic_loss(
-            lookup_norm(sub["rv_ent"], pos[:, 0]),
-            lookup_norm(sub["rel"], pos[:, 1]),
-            lookup_norm(sub["rv_ent"], pos[:, 2]),
-            lookup_norm(sub["rv_ent"], neg[:, 0]),
-            lookup_norm(sub["rel"], neg[:, 1]),
-            lookup_norm(sub["rv_ent"], neg[:, 2]), mask, mask)
-
-    sub = {"rv_ent": params["rv_ent"], "rel": params["rel"]}
-    grads = jax.grad(loss_fn)(sub)
-    # manual adagrad
-    want = {}
-    for k in sub:
-        g = np.asarray(grads[k])
-        acc = 0.1 + g * g
-        want[k] = np.asarray(sub[k]) - 0.1 * g / np.sqrt(acc)
-
-    update = streams._make_update(cfg, "rel_view", lambda m, p, pm, n, nm:
-                                  loss_fn({"rv_ent": m["rv_ent"], "rel": m["rel"]}))
-    new_params, _, loss = update(params, opt_states["rel_view"], pos, mask,
-                                 neg, mask)
-    np.testing.assert_allclose(np.asarray(new_params["rv_ent"]),
-                               want["rv_ent"], rtol=2e-5, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(new_params["rel"]), want["rel"],
-                               rtol=2e-5, atol=1e-7)
-    # untouched tables unchanged
-    np.testing.assert_array_equal(np.asarray(new_params["av_ent"]),
-                                  np.asarray(params["av_ent"]))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=3e-5, atol=1e-6)
+    assert np.isclose(results[True][2], results[False][2], rtol=1e-4)
 
 
 @pytest.fixture(scope="module")
