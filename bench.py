@@ -96,11 +96,19 @@ def synthetic_triples(rng, n_triples, ent_lo, ent_hi, n_rel, rel_lo):
     return np.stack([h, r, t], axis=1).astype(np.int32)
 
 
-def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1):
+def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1,
+              truncated=False):
+    """Measures the trainer's REAL rel_view epoch fn, default path: Bloom
+    exact-rejection on (cfg.neg_rejection_tries=10, like the trainer builds
+    it). ``truncated=True`` measures the post-neighbor-refresh phase
+    instead: per_slot sampling over a dense NeighborState whose rows cover
+    the 'useful' entities (the phase the reference spends most epochs in,
+    args.json:26-28)."""
     import jax
     import jax.numpy as jnp
 
     from multike_tpu.params import init_params
+    from multike_tpu.sampling import build_triple_filter
     from multike_tpu.train import streams
 
     entities_num = ranges[1][1]
@@ -110,22 +118,43 @@ def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1):
     key = jax.random.PRNGKey(0)
     t1 = jnp.asarray(triples1)
     t2 = jnp.asarray(triples2)
+    tfilter = None
+    if cfg.neg_rejection_tries > 0:
+        tfilter = build_triple_filter(np.concatenate([triples1, triples2]))
     epoch_fn, steps, trained = streams.build_rel_view_epoch(
-        cfg, len(triples1), len(triples2), ranges, with_neighbors=False)
+        cfg, len(triples1), len(triples2), ranges,
+        with_neighbors=truncated, tfilter=tfilter)
+
+    args = (t1, t2)
+    if truncated:
+        from multike_tpu.sampling import build_neighbor_state
+
+        # DWY100K-shaped: 'useful' entities = ~30% of each KG, k = top 2%
+        rng = np.random.RandomState(3)
+        parts = []
+        for lo, hi in ranges:
+            n_useful = (hi - lo) * 3 // 10
+            k = max(1, (hi - lo) // 50)
+            useful = lo + rng.permutation(hi - lo)[:n_useful]
+            nbr = lo + rng.randint(0, hi - lo, size=(n_useful, k))
+            parts.append((useful.astype(np.int64), nbr.astype(np.int32)))
+        neighbors = build_neighbor_state(entities_num, parts)
+        args = args + (neighbors,)
 
     opt = opt_states["rel_view"]
     for _ in range(warmup):
-        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2)
-    jax.block_until_ready(loss)
-    log(f"jax warmup done, steps/epoch={steps}, loss={float(loss):.1f}")
+        params, opt, key, loss = epoch_fn(params, opt, key, *args)
+    float(loss)  # force (block_until_ready does not sync the axon tunnel)
+    tag = "truncated" if truncated else "uniform"
+    log(f"jax warmup done ({tag}), steps/epoch={steps}, loss={float(loss):.1f}")
 
     t0 = time.perf_counter()
     for _ in range(epochs):
-        params, opt, key, loss = epoch_fn(params, opt, key, t1, t2)
-    jax.block_until_ready(loss)
+        params, opt, key, loss = epoch_fn(params, opt, key, *args)
+    float(loss)
     dt = time.perf_counter() - t0
     tps = trained * epochs / dt
-    log(f"jax: {epochs} epochs in {dt:.3f}s -> {tps:,.0f} triples/s")
+    log(f"jax ({tag}): {epochs} epochs in {dt:.3f}s -> {tps:,.0f} triples/s")
     return tps
 
 
@@ -231,6 +260,8 @@ def main():
         print(json.dumps(cached), flush=True)
         return
     tps = bench_jax(cfg, triples1, triples2, ranges, epochs)
+    tps_trunc = bench_jax(cfg, triples1, triples2, ranges, epochs,
+                          truncated=True)
     base = bench_torch_cpu(cfg, triples1, triples2, ranges, base_steps)
 
     result = {
@@ -238,6 +269,8 @@ def main():
         "value": round(tps, 1),
         "unit": "triples/s/chip",
         "vs_baseline": round(tps / base, 3),
+        "truncated_phase_value": round(tps_trunc, 1),
+        "bloom_rejection": True,
     }
     if tpu_ok and not ns.quick:
         try:

@@ -17,7 +17,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def run(scheme: str, folder: str, epochs: int):
+def run(scheme: str, folder: str, epochs: int, pool: int = 0):
     from multike_tpu.align.predicates import PredicateAlignModel
     from multike_tpu.config import Config
     from multike_tpu.data.dataset import DataModel
@@ -27,7 +27,7 @@ def run(scheme: str, folder: str, epochs: int):
     cfg = Config(training_data=folder, dim=32, batch_size=2048,
                  entity_batch_size=1024, attribute_batch_size=2048,
                  encoder_epoch=3, neg_triple_num=10, max_epoch=epochs,
-                 learning_rate=0.01, neg_scheme=scheme,
+                 learning_rate=0.01, neg_scheme=scheme, neg_pool_size=pool,
                  start_valid=999, eval_freq=999, truncated_freq=8,
                  start_predicate_soft_alignment=5, is_save=False,
                  word2vec_path=folder + "mini_word2vec.vec")
@@ -50,8 +50,11 @@ def main():
 
     folder = synthetic.generate("/tmp/negq_ds/", seed=5, n_entities=5000,
                                 n_rel_triples=30000, n_attr_triples=15000)
-    for scheme in ("chunk_shared", "per_slot"):
-        print(json.dumps(run(scheme, folder, epochs)), flush=True)
+    for scheme, pool in (("chunk_shared", 0), ("chunk_shared", 256),
+                         ("per_slot", 0)):
+        out = run(scheme, folder, epochs, pool=pool)
+        out["neg_pool_size"] = pool
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -53,14 +53,21 @@ class Config:
     # --- negative sampling (args.json:25-28) ---
     neg_triple_num: int = 10
     neg_sampling: str = "truncated"
-    # On-device exact rejection of true triples via a Bloom filter. In
-    # per_slot mode this is the number of resample rounds (the reference's
+    # On-device exact rejection of true triples via a Bloom filter, for the
+    # per_slot (reference-exact) scheme: max resample rounds (the reference's
     # host rejection gives up after 10 tries, base/batch.py:103-105 — same
-    # default here); in chunk_shared mode any value > 0 enables the exact
-    # keep-mask (offending (positive, candidate) pairs are dropped from the
-    # negative sum — no resampling loop needed). 0 = accept rare false
-    # negatives (~degree/|E| probability per draw).
+    # cap here). Implemented as an early-exit while_loop: a round that finds
+    # no true triple ends the loop, so the typical cost is ~2 Bloom passes.
+    # 0 = accept rare false negatives (~degree/|E| probability per draw).
     neg_rejection_tries: int = 10
+    # Exact rejection for the chunk_shared scheme: zero-mask (positive,
+    # pool-candidate) pairs that are true triples. Default OFF: the mask
+    # costs O(batch * 2C) Bloom gathers per step (measured 36x step-time at
+    # C=256 on v5e) while a false-negative pair occurs with probability
+    # ~degree/|E| (~3e-5 on DWY100K) and carries pair weight K/(2C) — a
+    # negligible gradient perturbation the quality A/B cannot detect
+    # (benchmarks/neg_scheme_quality.py). Turn on for strict parity runs.
+    chunk_exact_rejection: bool = False
     truncated_epsilon: float = 0.98
     truncated_freq: int = 20
     # Negative batching scheme (TPU-native knob):
@@ -75,10 +82,14 @@ class Config:
     neg_chunk_size: int = 1024
     # Size C of each shared candidate pool per chunk (head pool + tail pool);
     # 0 = neg_triple_num. Every positive scores against all 2C pool members,
-    # each weighted neg_triple_num / (2C), which matches the expectation of
-    # the reference's neg_triple_num coin-mixed per-slot draws with lower
-    # variance (see losses.chunk_shared_relation_logistic_loss).
-    neg_pool_size: int = 0
+    # each weighted neg_triple_num / (2C) — same expectation as the
+    # reference's neg_triple_num coin-mixed per-slot draws. A LARGE pool is
+    # essential for quality: C=10 explores ~500x fewer distinct negatives
+    # per epoch than per-slot draws and loses ~0.09 MRR on the 5K synthetic;
+    # C=256 matches per_slot (0.941 vs 0.944 rv MRR, 20-epoch ITC) at the
+    # same wall time — the extra pool columns ride the MXU matmul
+    # (benchmarks/neg_scheme_quality.py; DGL-KE/PBG use the same recipe).
+    neg_pool_size: int = 256
 
     # --- host parallelism knobs of the reference (args.json:30-31); kept for
     # config compatibility. On TPU, batching/eval are on-device, so these only

@@ -110,7 +110,8 @@ def _use_pallas_default() -> bool:
 
 def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
                    row_block: int = 4096, col_block: int = 4096,
-                   matmul_dtype=jnp.float32, use_pallas: bool | None = None):
+                   matmul_dtype=jnp.float32, use_pallas: bool | None = None,
+                   mesh=None):
     """Returns (rank_index (n1,), best_idx (n1,)) as numpy arrays.
 
     Gold for row i is column i (requires n2 >= n1), matching the reference's
@@ -118,10 +119,19 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
 
     On TPU the fused Pallas kernel (kernels/rank_kernel.py) computes the
     whole rank/argmax reduction in one pallas_call; elsewhere (or with
-    use_pallas=False) a scanned-XLA path produces identical results."""
+    use_pallas=False) a scanned-XLA path produces identical results.
+
+    ``mesh``: a ('dp','tp') device mesh routes the plain inner/cosine case
+    through the ring-decomposed ranker (eval/ring.py — both sides sharded
+    over 'dp', blocks rotated by ppermute); CSLS keeps the single-device
+    blockwise path (its penalties need global column top-k first)."""
     e1 = np.asarray(embed1, np.float32)
     e2 = np.asarray(embed2, np.float32)
     assert e2.shape[0] >= e1.shape[0], "gold column must exist for every row"
+    if mesh is not None and csls_k == 0:
+        from multike_tpu.eval.ring import ring_rank_and_align
+
+        return ring_rank_and_align(mesh, e1, e2, normalize=normalize)
     if normalize:
         e1 = _normalize_np(e1)
         e2 = _normalize_np(e2)
@@ -164,10 +174,11 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
 def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
                      metric: str = "inner", normalize: bool = False,
                      csls_k: int = 0, accurate: bool = False,
-                     verbose: bool = True, matmul_dtype=None):
+                     verbose: bool = True, matmul_dtype=None, mesh=None):
     """API parity with base/alignment.py:8-79.
 
-    ``nums_threads`` is accepted for compatibility; the engine is on-device.
+    ``nums_threads`` is accepted for compatibility; the engine is on-device
+    (``mesh`` distributes it, see rank_and_align).
     Returns (alignment_rest, hits1, mr, mrr)."""
     t = time.time()
     assert 1 in top_k
@@ -178,7 +189,8 @@ def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
             f"device eval supports inner/cosine; use eval.similarity.sim for {metric!r}")
     ranks, best = rank_and_align(
         embed1, embed2, normalize=normalize, csls_k=csls_k,
-        matmul_dtype=matmul_dtype if matmul_dtype is not None else jnp.float32)
+        matmul_dtype=matmul_dtype if matmul_dtype is not None else jnp.float32,
+        mesh=mesh)
     num = len(ranks)
     mr = float(np.mean(ranks + 1))
     mrr = float(np.mean(1.0 / (ranks + 1)))

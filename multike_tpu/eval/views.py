@@ -35,6 +35,13 @@ def _eval_dtype(trainer):
             else jnp.float32)
 
 
+def _mesh(trainer):
+    """The trainer's device mesh, when mesh training is configured — eval
+    ranks are then ring-distributed over it (eval/ring.py)."""
+    pctx = getattr(trainer, "pctx", None)
+    return pctx.mesh if pctx is not None else None
+
+
 def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     ent_embeds = _choose_embeds(trainer, embed_choice, w)
     kgs = trainer.kgs
@@ -44,7 +51,8 @@ def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds2 = ent_embeds[kgs.valid_entities2 + kgs.test_entities2]
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
                           trainer.cfg.test_threads_num, normalize=True,
-                          matmul_dtype=_eval_dtype(trainer))
+                          matmul_dtype=_eval_dtype(trainer),
+                          mesh=_mesh(trainer))
     return mrr_12
 
 
@@ -57,7 +65,8 @@ def test(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds2 = ent_embeds[kgs.test_entities2]
     _, _, mrr_12 = eva.test(embeds1, embeds2, None, trainer.cfg.top_k,
                             trainer.cfg.test_threads_num, normalize=True,
-                            matmul_dtype=_eval_dtype(trainer))
+                            matmul_dtype=_eval_dtype(trainer),
+                            mesh=_mesh(trainer))
     return mrr_12
 
 
@@ -105,7 +114,8 @@ def _wva_eval(trainer, ents1, ents2, label: str) -> float:
     embeds2 = w1 * nv2 + w2 * rv2 + w3 * av2
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
                           trainer.cfg.test_threads_num, normalize=True,
-                          matmul_dtype=_eval_dtype(trainer))
+                          matmul_dtype=_eval_dtype(trainer),
+                          mesh=_mesh(trainer))
     return mrr_12
 
 

@@ -210,12 +210,26 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
     cand = draw(k0, corrupt_head)
 
     if tfilter is not None and retries > 0:
-        for _ in range(retries):
+        # Early-exit rejection: each pass rechecks every candidate against
+        # the Bloom filter and redraws the offenders; a clean pass ends the
+        # loop. True-triple hits are ~degree/|E| rare, so the typical cost is
+        # ~2 Bloom passes instead of the reference's fixed-10 retry budget
+        # (base/batch.py:103-105) unrolled.
+        def cond(state):
+            _, _, i, pending = state
+            return pending & (i < retries)
+
+        def body(state):
+            cand, key, i, _ = state
             neg_h = jnp.where(corrupt_head, cand, h[:, None])
             neg_t = jnp.where(corrupt_head, t[:, None], cand)
             is_true = _filter_contains(tfilter, neg_h, r[:, None], neg_t)
             key, k_i = jax.random.split(key)
             cand = jnp.where(is_true, draw(k_i, corrupt_head), cand)
+            return cand, key, i + 1, jnp.any(is_true)
+
+        cand, key, _, _ = jax.lax.while_loop(
+            cond, body, (cand, key, jnp.int32(0), jnp.bool_(True)))
 
     return cand, corrupt_head
 

@@ -289,9 +289,11 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     skips the neighbor-table gathers entirely (leaner executable; also
     avoids a degenerate-empty-table XLA pathology). ``tfilter`` (a
     sampling.TripleFilter) enables exact rejection of true triples: per-slot
-    mode resamples ``cfg.neg_rejection_tries`` times; chunk mode zero-masks
-    the offending (positive, candidate) pairs — stronger than the
-    reference's give-up-after-10 loop (base/batch.py:103-105)."""
+    mode resamples up to ``cfg.neg_rejection_tries`` times (early-exit
+    while_loop); chunk mode zero-masks the offending (positive, candidate)
+    pairs when ``cfg.chunk_exact_rejection`` — stronger than the reference's
+    give-up-after-10 loop (base/batch.py:103-105) but O(batch*2C) Bloom
+    gathers, so off by default (see Config)."""
     from multike_tpu.losses import (chunk_shared_relation_logistic_loss,
                                     lean_relation_logistic_loss)
     from multike_tpu.sampling import (sample_corruptions,
@@ -322,7 +324,7 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         resampling loop — offending pairs are dropped from the negative sum
         (stronger than the reference's give-up-after-10 retries,
         base/batch.py:103-105)."""
-        if tfilter is None or cfg.neg_rejection_tries <= 0:
+        if tfilter is None or not cfg.chunk_exact_rejection:
             return None, None
         h = trip[:, 0].reshape(nc, s)[..., None]
         r = trip[:, 1].reshape(nc, s)[..., None]

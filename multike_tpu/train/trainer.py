@@ -106,7 +106,7 @@ class MultiKETrainer:
         # exact-rejection Bloom filter over both KGs' local relation triples
         # (id spaces are disjoint, so one filter serves both)
         self.triple_filter = None
-        if cfg.neg_rejection_tries > 0:
+        if cfg.neg_rejection_tries > 0 or cfg.chunk_exact_rejection:
             from multike_tpu.sampling import build_triple_filter
 
             all_local = np.concatenate([

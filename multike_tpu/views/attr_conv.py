@@ -27,22 +27,24 @@ from multike_tpu.params import l2_normalize
 BN_EPS = 1e-3  # tf.layers.batch_normalization default epsilon
 
 
-def conv_score(conv_params, attr_hs, attr_as, attr_vs, layer_num: int = 2,
-               mask=None):
-    """Returns (B,) scores.
-
-    ``mask`` (B,) zeroes padded rows *before* the global-tensor normalize in
-    step 5 — the reference's axis-less l2_normalize makes every row's value
-    depend on the whole batch, so padded rows must not pollute the norm.
-    """
+def conv_stages(conv_params, attr_hs, attr_as, attr_vs, layer_num: int = 2,
+                mask=None):
+    """Runs the scorer pipeline and returns every intermediate activation —
+    the injected-weights parity harness (tests/test_activation_parity.py)
+    compares each stage against an independent NumPy transcription of the
+    TF1 ops (MultiKE_model.py:34-63). ``conv_score`` is this with only the
+    final stage kept; under jit the dict costs nothing."""
     B, dim = attr_hs.shape
+    stages = {}
     x = jnp.stack([attr_as, attr_vs], axis=1)          # (B, 2, dim)
     x = x[..., None]                                   # (B, 2, dim, 1)
+    stages["stack"] = x
 
     # inference-mode BN over axis 2 (the dim axis)
     gamma = conv_params["bn_gamma"][None, None, :, None]
     beta = conv_params["bn_beta"][None, None, :, None]
     x = gamma * x * jax.lax.rsqrt(jnp.asarray(1.0 + BN_EPS)) + beta
+    stages["bn"] = x
 
     for i in range(layer_num):
         w = conv_params[f"conv{i}_w"]                  # (kh, kw, cin, cout)
@@ -52,11 +54,28 @@ def conv_score(conv_params, attr_hs, attr_as, attr_vs, layer_num: int = 2,
             padding=((0, 1), (1, 2)),                  # TF SAME for (2,4) kernel
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = jnp.tanh(x + b)
+        stages[f"conv{i}"] = x
 
     x = l2_normalize(x, axis=2)                        # (B, 2, dim, 2)
+    stages["l2_axis2"] = x
     flat = x.reshape(B, -1)                            # (B, 4*dim)
     dense = jnp.tanh(flat @ conv_params["dense_w"] + conv_params["dense_b"])
+    stages["dense_tanh"] = dense
     if mask is not None:
         dense = dense * mask[:, None]
     dense = l2_normalize(dense, axis=None)             # global-tensor norm
-    return -jnp.sum(jnp.square(attr_hs - dense), axis=1)
+    stages["dense_gnorm"] = dense
+    stages["score"] = -jnp.sum(jnp.square(attr_hs - dense), axis=1)
+    return stages
+
+
+def conv_score(conv_params, attr_hs, attr_as, attr_vs, layer_num: int = 2,
+               mask=None):
+    """Returns (B,) scores.
+
+    ``mask`` (B,) zeroes padded rows *before* the global-tensor normalize in
+    step 5 — the reference's axis-less l2_normalize makes every row's value
+    depend on the whole batch, so padded rows must not pollute the norm.
+    """
+    return conv_stages(conv_params, attr_hs, attr_as, attr_vs,
+                       layer_num=layer_num, mask=mask)["score"]

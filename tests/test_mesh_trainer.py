@@ -85,6 +85,26 @@ def test_mesh_trainer_equals_single_device(mesh_dataset, mesh):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-6, err_msg=t)
 
 
+def test_mesh_eval_matches_single_device(mesh_dataset):
+    """views.valid/test on a meshed trainer go through the ring-distributed
+    ranker (eval/ring.py) and must return the same MRR as the single-device
+    blockwise engine."""
+    from multike_tpu.eval import views as vw
+
+    base = _make_trainer(mesh_dataset)
+    meshed = _make_trainer(mesh_dataset, mesh_dp=8, mesh_tp=1)
+    for choice in ("nv", "rv"):
+        a = vw.valid(base, embed_choice=choice)
+        b = vw.valid(meshed, embed_choice=choice)
+        assert np.isclose(a, b, rtol=1e-6), (choice, a, b)
+    # accurate mode compared on the trained rv view: the frozen nv view has
+    # exact-duplicate rows (shared synthetic names), where 1-ulp reduction-
+    # order differences between the engines legitimately flip tie ranks.
+    a = vw.test(base, embed_choice="rv")
+    b = vw.test(meshed, embed_choice="rv")
+    assert np.isclose(a, b, rtol=1e-6), (a, b)
+
+
 def test_mesh_trainer_truncated_phase(mesh_dataset):
     """Neighbor refresh + the truncated (per_slot) epoch also run on the
     mesh."""

@@ -16,6 +16,13 @@ def _write_vec(path, n, d, seed=0):
         f.write("malformed 1 2\n")
 
 
+def test_native_library_is_built():
+    """The C++ helper library must be present in CI (conftest builds it via
+    `make -C native` when missing) — the Levenshtein predicate seeding and
+    .vec parsing hot spots must not silently fall back to Python."""
+    assert have_native()
+
+
 @pytest.mark.skipif(not have_native(), reason="native lib not built")
 def test_native_vec_matches_python(tmp_path):
     p = str(tmp_path / "w.vec")
