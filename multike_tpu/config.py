@@ -60,6 +60,20 @@ class Config:
     # no true triple ends the loop, so the typical cost is ~2 Bloom passes.
     # 0 = accept rare false negatives (~degree/|E| probability per draw).
     neg_rejection_tries: int = 10
+    # How a per_slot candidate testing positive against the Bloom filter is
+    # handled (sampling.sample_corruptions):
+    #   "drop"     — one Bloom pass; the offending slot is zero-masked out of
+    #     the negative sum. Never accepts a true triple; statistically a
+    #     ~hit-rate thinning of the K-sample negative Monte-Carlo estimator
+    #     (identical expectation over surviving slots). ~2x sampling
+    #     throughput in the neighbor-truncated phase: each resample pass
+    #     repeats the full neighbor-table draw (~1 ms at batch 5000 on v5e).
+    #   "resample" — reference-exact semantics (base/batch.py:86-116): redraw
+    #     offenders up to neg_rejection_tries times (early-exit while_loop),
+    #     accepting survivors of the final pass.
+    # Quality A/B on the 20-epoch synthetic ITC shows no measurable MRR
+    # difference (benchmarks/neg_scheme_quality.py).
+    neg_reject_mode: str = "drop"
     # Exact rejection for the chunk_shared scheme: zero-mask (positive,
     # pool-candidate) pairs that are true triples. Default OFF: the mask
     # costs O(batch * 2C) Bloom gathers per step (measured 36x step-time at

@@ -35,60 +35,61 @@ import jax.numpy as jnp
 from multike_tpu.eval.similarity import csls_penalties_blockwise
 
 
-@functools.partial(jax.jit, static_argnames=("col_block",))
-def _rank_block(e1_blk: jnp.ndarray, gold: jnp.ndarray, gold_idx: jnp.ndarray,
-                e2: jnp.ndarray, r2: Optional[jnp.ndarray],
-                col_block: int = 4096):
-    """For a block of left embeddings: (count_greater, best_idx, best_val).
+# HBM budget (f32 elements) for one row-block's score tile. XLA materializes
+# the (row_block, n2) matmul output of each scan iteration (verified: 70K x
+# 70K unblocked OOMs a 16 GB v5e with 'Allocation 19.6 GB'), so row blocks
+# are sized to keep that tile ~1 GB. Fewer, fatter blocks win: a nested
+# column scan measured ~30x slower than full-width epilogues (XLA fuses
+# count/argmax into one pass over the tile; the inner scan defeated that).
+_EVAL_TILE_ELEMS = 256 * 1024 * 1024
 
-    e1_blk: (B, d); gold: (B,) gold scores (already CSLS-adjusted if r2
-    given); gold_idx: (B,) gold column ids — the gold column is excluded from
-    the count so float round-off between the separately computed gold score
-    and the in-matrix value cannot shift the rank; e2: (n2, d); r2: optional
-    (n2,) CSLS column penalty.
+
+def _eval_row_block(n1: int, n2: int) -> int:
+    rb = max(1, _EVAL_TILE_ELEMS // max(n2, 1))
+    return int(min(n1, rb))
+
+
+@functools.partial(jax.jit, static_argnames=("row_block",))
+def _rank_all(e1: jnp.ndarray, gold: jnp.ndarray, e2: jnp.ndarray,
+              r2: Optional[jnp.ndarray], row_block: int):
+    """Whole-eval rank/argmax in ONE device call: a scan over row blocks,
+    each computing its full-width (row_block, n2) score tile on the MXU with
+    the count/argmax epilogue fused in. One dispatch + one device->host
+    transfer per eval.
+
+    gold: (n1,) gold scores (already CSLS-adjusted if r2 given). The gold
+    column (col id == row id) is excluded from the count so float round-off
+    between the separately computed gold score and the in-matrix value
+    cannot shift the rank. r2: optional (n2,) CSLS column penalty.
     """
-    B = e1_blk.shape[0]
-    n2 = e2.shape[0]
-    steps = -(-n2 // col_block)
-    pad = steps * col_block - n2
-    e2p = jnp.concatenate([e2, jnp.zeros((pad, e2.shape[1]), e2.dtype)])
-    invalid = jnp.arange(steps * col_block) >= n2
-    if r2 is not None:
-        r2p = jnp.concatenate([r2, jnp.zeros((pad,), r2.dtype)])
+    n1 = e1.shape[0]
+    rsteps = -(-n1 // row_block)
+    padr = rsteps * row_block - n1
+    e1p = jnp.concatenate([e1, jnp.zeros((padr, e1.shape[1]), e1.dtype)])
+    # padded rows: gold=+inf counts nothing; their outputs are dropped
+    goldp = jnp.concatenate([gold, jnp.full((padr,), jnp.inf, gold.dtype)])
+    gidx = jnp.arange(rsteps * row_block, dtype=jnp.int32)
 
-    def body(carry, xs):
-        count, best_val, best_idx = carry
+    def row_body(_, xs):
+        blk, goldb, gidxb = xs
+        s = jax.lax.dot_general(
+            blk, e2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (RB, n2)
         if r2 is not None:
-            blk, inval, r2b, off = xs
-        else:
-            blk, inval, off = xs
-            r2b = None
-        s = jnp.dot(e1_blk, blk.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-        if r2b is not None:
-            s = 2.0 * s - r2b[None, :]
-        s = jnp.where(inval[None, :], -jnp.inf, s)
-        cols = off + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        beats = jnp.logical_and(s > gold[:, None],
-                                cols != gold_idx[:, None])
-        count = count + jnp.sum(beats.astype(jnp.int32), axis=1)
-        blk_best = jnp.max(s, axis=1)
-        blk_arg = jnp.argmax(s, axis=1).astype(jnp.int32) + off
-        take = blk_best > best_val
-        best_val = jnp.where(take, blk_best, best_val)
-        best_idx = jnp.where(take, blk_arg, best_idx)
-        return (count, best_val, best_idx), None
+            s = 2.0 * s - r2[None, :]
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        beats = jnp.logical_and(s > goldb[:, None], cols != gidxb[:, None])
+        cnt = jnp.sum(beats.astype(jnp.int32), axis=1)
+        bidx = jnp.argmax(s, axis=1).astype(jnp.int32)
+        return None, (cnt, bidx)
 
-    offsets = col_block * jnp.arange(steps, dtype=jnp.int32)
-    xs = [e2p.reshape(steps, col_block, -1), invalid.reshape(steps, col_block)]
-    if r2 is not None:
-        xs.append(r2p.reshape(steps, col_block))
-    xs.append(offsets)
-    init = (jnp.zeros((B,), jnp.int32),
-            jnp.full((B,), -jnp.inf, jnp.float32),
-            jnp.zeros((B,), jnp.int32))
-    (count, best_val, best_idx), _ = jax.lax.scan(body, init, tuple(xs))
-    return count, best_idx, best_val
+    _, (cnt, bidx) = jax.lax.scan(
+        row_body, None,
+        (e1p.reshape(rsteps, row_block, -1),
+         goldp.reshape(rsteps, row_block),
+         gidx.reshape(rsteps, row_block)))
+    return cnt.reshape(-1)[:n1], bidx.reshape(-1)[:n1]
 
 
 def _normalize_np(x: np.ndarray) -> np.ndarray:
@@ -109,7 +110,7 @@ def _use_pallas_default() -> bool:
 
 
 def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
-                   row_block: int = 4096, col_block: int = 4096,
+                   row_block: Optional[int] = None, col_block: int = 4096,
                    matmul_dtype=jnp.float32, use_pallas: bool | None = None,
                    mesh=None):
     """Returns (rank_index (n1,), best_idx (n1,)) as numpy arrays.
@@ -159,16 +160,9 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
                                          r2, use_csls=csls_k > 0)
         return np.asarray(cnt).astype(np.int64), np.asarray(bidx).astype(np.int64)
 
-    ranks = np.zeros((n1,), np.int64)
-    best = np.zeros((n1,), np.int64)
-    for start in range(0, n1, row_block):
-        stop = min(start + row_block, n1)
-        gold_idx = jnp.arange(start, stop, dtype=jnp.int32)
-        cnt, bidx, _ = _rank_block(d1[start:stop], gold_all[start:stop],
-                                   gold_idx, d2, r2, col_block=col_block)
-        ranks[start:stop] = np.asarray(cnt)
-        best[start:stop] = np.asarray(bidx)
-    return ranks, best
+    rb = row_block if row_block is not None else _eval_row_block(n1, e2.shape[0])
+    cnt, bidx = _rank_all(d1, gold_all, d2, r2, row_block=min(rb, n1))
+    return np.asarray(cnt).astype(np.int64), np.asarray(bidx).astype(np.int64)
 
 
 def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,

@@ -63,7 +63,7 @@ def positive_logistic_from_scores(scores, weights=None, mask=None):
 
 
 def lean_relation_logistic_loss(phs, prs, pts, cand_rows, corrupt_head,
-                                pos_mask=None):
+                                pos_mask=None, neg_keep=None):
     """Reference TransE logistic loss (losses.py:4-12) in the *lean* batch
     layout: instead of materializing six gathered row blocks (pos + fully
     assembled negatives), negatives reuse the positive rows for the
@@ -71,11 +71,15 @@ def lean_relation_logistic_loss(phs, prs, pts, cand_rows, corrupt_head,
     ``cand_rows``: (B, K, D) normalized corruption-candidate rows;
     ``corrupt_head``: (B, K) bool. Mathematically identical to
     :func:`relation_logistic_loss` on the assembled negatives; it just
-    avoids gathering (and back-scattering) each positive row K extra times."""
+    avoids gathering (and back-scattering) each positive row K extra times.
+    ``neg_keep`` (B, K), optional: 0 drops a negative slot (Bloom 'drop'
+    rejection of true triples, sampling.sample_corruptions)."""
     pos = jax.nn.softplus(-transe_score(phs, prs, pts))
     nh = jnp.where(corrupt_head[..., None], cand_rows, phs[:, None])
     nt = jnp.where(corrupt_head[..., None], pts[:, None], cand_rows)
     neg = jax.nn.softplus(transe_score(nh, prs[:, None], nt))
+    if neg_keep is not None:
+        neg = neg * neg_keep
     if pos_mask is not None:
         pos = pos * pos_mask
         neg = neg * pos_mask[:, None]

@@ -30,16 +30,22 @@ import numpy as np
 
 @jax.tree_util.register_pytree_node_class
 class TripleFilter:
-    """Bloom filter over the true-triple set, for exact-rejection negative
-    sampling on device (SURVEY.md §7 'host-precomputed bitmask' option).
+    """Blocked Bloom filter over the true-triple set, for exact-rejection
+    negative sampling on device (SURVEY.md §7 'host-precomputed bitmask'
+    option).
 
-    Two multiply-xor hashes into an m-bit mask: a positive test is
-    'possibly a true triple' (false-positive rate ~(n/m)^2 — harmless extra
-    rejections), a negative test is 'definitely not a true triple', so no
-    true triple ever survives as a negative — stronger than the reference's
-    10-retry rejection which eventually gives up (base/batch.py:103-105).
+    Both hash bits of a triple land in ONE 32-bit word (the classic
+    cache-line-blocked Bloom layout), so a membership test costs a single
+    word gather — the gather is the expensive part of an on-device test
+    (measured ~2x sampling throughput vs two independent bit gathers on
+    v5e). A positive test is 'possibly a true triple' (false-positive rate
+    ~(64n/m / 32)^2, ~0.5% at the default 4 MB for DWY100K-sized triple
+    sets — harmless extra rejections), a negative test is 'definitely not a
+    true triple', so no true triple ever survives as a negative — stronger
+    than the reference's 10-retry rejection which eventually gives up
+    (base/batch.py:103-105).
 
-    ``log2m`` is pytree aux data (static under jit)."""
+    ``log2m`` (total bits) is pytree aux data (static under jit)."""
 
     def __init__(self, bits: jnp.ndarray, log2m: int):
         self.bits = bits        # (m/32,) uint32
@@ -57,27 +63,30 @@ _H1 = np.uint32(0x9E3779B1)
 _H2 = np.uint32(0x85EBCA77)
 _HA = np.uint32(0xC2B2AE35)
 _HB = np.uint32(0x27D4EB2F)
+_HC = np.uint32(0x165667B1)
 
 
-def _hash2_np(h, r, t, log2m):
+def _hash_word_bits_np(h, r, t, log2m):
+    """(word index, bit1, bit2) — both bits within the same word."""
     h = h.astype(np.uint32)
     r = r.astype(np.uint32)
     t = t.astype(np.uint32)
     x = (h * _H1) ^ (r * _H2) ^ (t * _HA)
-    i1 = (x * _H1) >> np.uint32(32 - log2m)
-    i2 = (x * _HB + np.uint32(0x165667B1)) >> np.uint32(32 - log2m)
-    return i1, i2
+    word = (x * _H1) >> np.uint32(32 - (log2m - 5))
+    b1 = (x * _HB + _HC) >> np.uint32(27)
+    b2 = (x * _HA + _HB) >> np.uint32(27)
+    return word, b1, b2
 
 
-def build_triple_filter(triples: np.ndarray, log2m: int = 24) -> TripleFilter:
-    """triples: (n, 3) int array. m = 2^log2m bits (2 MB at 24)."""
+def build_triple_filter(triples: np.ndarray, log2m: int = 25) -> TripleFilter:
+    """triples: (n, 3) int array. m = 2^log2m bits (4 MB at 25)."""
     m_words = (1 << log2m) // 32
     bits = np.zeros(m_words, np.uint32)
     if len(triples):
-        i1, i2 = _hash2_np(triples[:, 0], triples[:, 1], triples[:, 2], log2m)
-        for idx in (i1, i2):
-            np.bitwise_or.at(bits, idx // 32,
-                             np.uint32(1) << (idx % np.uint32(32)))
+        word, b1, b2 = _hash_word_bits_np(
+            triples[:, 0], triples[:, 1], triples[:, 2], log2m)
+        mask = (np.uint32(1) << b1) | (np.uint32(1) << b2)
+        np.bitwise_or.at(bits, word, mask)
     return TripleFilter(bits=jnp.asarray(bits), log2m=log2m)
 
 
@@ -87,14 +96,12 @@ def _filter_contains(tfilter: TripleFilter, h, r, t):
     r = r.astype(jnp.uint32)
     t = t.astype(jnp.uint32)
     x = (h * _H1) ^ (r * _H2) ^ (t * _HA)
-    i1 = (x * _H1) >> np.uint32(32 - log2m)
-    i2 = (x * _HB + np.uint32(0x165667B1)) >> np.uint32(32 - log2m)
-
-    def bit(idx):
-        word = tfilter.bits[(idx // 32).astype(jnp.int32)]
-        return (word >> (idx % 32)) & 1
-
-    return (bit(i1) & bit(i2)) == 1
+    word_idx = (x * _H1) >> np.uint32(32 - (log2m - 5))
+    b1 = (x * _HB + _HC) >> np.uint32(27)
+    b2 = (x * _HA + _HB) >> np.uint32(27)
+    word = tfilter.bits[word_idx.astype(jnp.int32)]     # ONE gather
+    mask = (jnp.uint32(1) << b1) | (jnp.uint32(1) << b2)
+    return (word & mask) == mask
 
 
 def triple_filter_contains(tfilter: TripleFilter, h, r, t):
@@ -105,12 +112,14 @@ def triple_filter_contains(tfilter: TripleFilter, h, r, t):
 
 class NeighborState(NamedTuple):
     """Truncated-sampling candidates: ``nbr[e, :cnt[e]]`` holds neighbor
-    entity ids, valid only where ``has[e]``. ``cnt`` allows the two KGs'
-    different top-k sizes (K = 2% of each KG's entity count) to share one
-    dense table without sampling bias."""
+    entity ids; ``cnt[e] == 0`` means entity e has no neighbor list (sampling
+    falls back to uniform — the draw derives this from the one ``cnt``
+    gather, so ``has`` is never gathered in the hot path). ``cnt`` allows the
+    two KGs' different top-k sizes (K = 2% of each KG's entity count) to
+    share one dense table without sampling bias."""
     nbr: jnp.ndarray  # (E, Kmax) int32
-    has: jnp.ndarray  # (E,) bool
-    cnt: jnp.ndarray  # (E,) int32 (>= 1)
+    has: jnp.ndarray  # (E,) bool  (== cnt > 0; kept for introspection/tests)
+    cnt: jnp.ndarray  # (E,) int32 (0 = no neighbors)
 
 
 def empty_neighbor_state(entities_num: int, k: int = 8) -> NeighborState:
@@ -121,7 +130,7 @@ def empty_neighbor_state(entities_num: int, k: int = 8) -> NeighborState:
     return NeighborState(
         nbr=jnp.zeros((entities_num, max(k, 8)), jnp.int32),
         has=jnp.zeros((entities_num,), bool),
-        cnt=jnp.ones((entities_num,), jnp.int32),
+        cnt=jnp.zeros((entities_num,), jnp.int32),
     )
 
 
@@ -153,9 +162,11 @@ def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
         uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
         if neighbors is not None:
             target = jnp.where(corrupt_head, h, t)
-            col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[target]
+            cnts = neighbors.cnt[target]    # one gather; cnt 0 == no neighbors
+            col = jax.random.randint(k_pick, (n,), 0, 1 << 30) \
+                % jnp.maximum(cnts, 1)
             from_nbr = neighbors.nbr[target, col]
-            return jnp.where(neighbors.has[target], from_nbr, uniform)
+            return jnp.where(cnts > 0, from_nbr, uniform)
         return uniform
 
     key, k_side, k0 = jax.random.split(key, 3)
@@ -179,15 +190,29 @@ def sample_negatives(key, pos: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
 def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
                        neighbors: Optional[NeighborState] = None,
                        tfilter: Optional[TripleFilter] = None,
-                       retries: int = 0):
+                       retries: int = 0, reject_mode: str = "resample"):
     """Per-slot iid corruption draws in *structured* form: returns
-    ``(cand (B, K) int32, corrupt_head (B, K) bool)`` instead of assembled
-    negative triples. Sampling semantics are identical to
+    ``(cand (B, K) int32, corrupt_head (B, K) bool, keep)`` instead of
+    assembled negative triples. Sampling semantics are identical to
     :func:`sample_negatives` (corrupt head-or-tail with p=0.5 per slot,
     uniform over the owning KG's range / neighbor rows, optional Bloom
     rejection) — the structured form lets the training step reuse the
     positive rows for the uncorrupted side, halving embedding-table
-    gather/scatter traffic. ``lo``/``hi`` may be scalars or (B,) vectors."""
+    gather/scatter traffic. ``lo``/``hi`` may be scalars or (B,) vectors.
+
+    True-triple rejection (``tfilter`` set) has two modes:
+
+      * ``"resample"`` (reference semantics, base/batch.py:86-116): redraw
+        offenders up to ``retries`` times in an early-exit while_loop;
+        ``keep`` is returned as None. Each redraw repeats the full
+        (neighbor-)draw, so with neighbor tables a pass costs ~1 ms on v5e.
+      * ``"drop"``: ONE Bloom pass; offenders are not replaced but returned
+        with ``keep[b, k] = 0`` so the loss drops those slots. Statistically
+        a ~hit-rate thinning of the K-sample negative Monte-Carlo sum
+        (identical expectation over the surviving slots); unlike resampling
+        it never accepts a true triple. ~2x sampling throughput in the
+        neighbor-truncated phase (see docs/EXPERIMENTS.md breakdown).
+    """
     B = pos.shape[0]
     h, r, t = pos[:, 0], pos[:, 1], pos[:, 2]
     lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,))
@@ -199,17 +224,26 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
                    % (hi - lo)[:, None])
         if neighbors is not None:
             target = jnp.where(corrupt_head, h[:, None], t[:, None])
+            cnts = neighbors.cnt[target]    # one gather; cnt 0 == no neighbors
             col = (jax.random.randint(k_pick, (B, neg_num), 0, 1 << 30)
-                   % neighbors.cnt[target])
+                   % jnp.maximum(cnts, 1))
             from_nbr = neighbors.nbr[target, col]
-            return jnp.where(neighbors.has[target], from_nbr, uniform)
+            return jnp.where(cnts > 0, from_nbr, uniform)
         return uniform
 
     key, k_side, k0 = jax.random.split(key, 3)
     corrupt_head = jax.random.bernoulli(k_side, 0.5, (B, neg_num))
     cand = draw(k0, corrupt_head)
+    keep = None
 
-    if tfilter is not None and retries > 0:
+    def bloom_hits(cand):
+        neg_h = jnp.where(corrupt_head, cand, h[:, None])
+        neg_t = jnp.where(corrupt_head, t[:, None], cand)
+        return _filter_contains(tfilter, neg_h, r[:, None], neg_t)
+
+    if tfilter is not None and reject_mode == "drop":
+        keep = 1.0 - bloom_hits(cand).astype(jnp.float32)
+    elif tfilter is not None and retries > 0:
         # Early-exit rejection: each pass rechecks every candidate against
         # the Bloom filter and redraws the offenders; a clean pass ends the
         # loop. True-triple hits are ~degree/|E| rare, so the typical cost is
@@ -221,9 +255,7 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
 
         def body(state):
             cand, key, i, _ = state
-            neg_h = jnp.where(corrupt_head, cand, h[:, None])
-            neg_t = jnp.where(corrupt_head, t[:, None], cand)
-            is_true = _filter_contains(tfilter, neg_h, r[:, None], neg_t)
+            is_true = bloom_hits(cand)
             key, k_i = jax.random.split(key)
             cand = jnp.where(is_true, draw(k_i, corrupt_head), cand)
             return cand, key, i + 1, jnp.any(is_true)
@@ -231,7 +263,7 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
         cand, key, _, _ = jax.lax.while_loop(
             cond, body, (cand, key, jnp.int32(0), jnp.bool_(True)))
 
-    return cand, corrupt_head
+    return cand, corrupt_head, keep
 
 
 def sample_shared_corruptions(key, num_chunks: int, neg_num: int, lo: int, hi: int):
@@ -262,9 +294,10 @@ def sample_neg_heads(key, pos_h: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     n = h.shape[0]
     uniform = lo_r + jax.random.randint(k_ent, (n,), 0, 1 << 30) % (hi_r - lo_r)
     if neighbors is not None:
-        col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % neighbors.cnt[h]
+        cnts = neighbors.cnt[h]             # one gather; cnt 0 == no neighbors
+        col = jax.random.randint(k_pick, (n,), 0, 1 << 30) % jnp.maximum(cnts, 1)
         from_nbr = neighbors.nbr[h, col]
-        return jnp.where(neighbors.has[h], from_nbr, uniform)
+        return jnp.where(cnts > 0, from_nbr, uniform)
     return uniform
 
 
@@ -279,7 +312,7 @@ def build_neighbor_state(entities_num: int, parts) -> NeighborState:
     kmax = max(max(p[1].shape[1] for p in parts), 8)
     nbr = np.zeros((entities_num, kmax), np.int32)
     has = np.zeros((entities_num,), bool)
-    cnt = np.ones((entities_num,), np.int32)
+    cnt = np.zeros((entities_num,), np.int32)
     for useful_entities, neighbor_ids in parts:
         k = neighbor_ids.shape[1]
         nbr[useful_entities, :k] = neighbor_ids

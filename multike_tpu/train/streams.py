@@ -347,15 +347,17 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
             aux = (chunk_keep_masks(t1b, ch1, ct1, nc1, s1),
                    chunk_keep_masks(t2b, ch2, ct2, nc2, s2))
         else:
-            cand1, hb1 = sample_corruptions(k1, t1b, lo1, hi1, neg_num, nbr,
-                                            tfilter=tfilter,
-                                            retries=cfg.neg_rejection_tries)
-            cand2, hb2 = sample_corruptions(k2, t2b, lo2, hi2, neg_num, nbr,
-                                            tfilter=tfilter,
-                                            retries=cfg.neg_rejection_tries)
+            cand1, hb1, keep1 = sample_corruptions(
+                k1, t1b, lo1, hi1, neg_num, nbr, tfilter=tfilter,
+                retries=cfg.neg_rejection_tries,
+                reject_mode=cfg.neg_reject_mode)
+            cand2, hb2, keep2 = sample_corruptions(
+                k2, t2b, lo2, hi2, neg_num, nbr, tfilter=tfilter,
+                retries=cfg.neg_rejection_tries,
+                reject_mode=cfg.neg_reject_mode)
             parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
                      t2b[:, 0], t2b[:, 2], cand2.ravel()]
-            aux = (hb1, hb2)
+            aux = (hb1, keep1, hb2, keep2)
         return {"rv_ent": jnp.concatenate(parts)}, aux
 
     def loss_fn(rows, dense, stopped, aux, t1b, m1, k1, t2b, m2, k2, nbr):
@@ -386,14 +388,16 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                     neg_weight=neg_w, pos_mask=m2.reshape(nc2, s2),
                     keep_h=keep2[0], keep_t=keep2[1])
         else:
-            hb1, hb2 = aux
+            hb1, keep1, hb2, keep2 = aux
             (ph1, pt1, c1r, ph2, pt2, c2r) = _split(rv_rows, sizes)
             if bs1 > 0:
                 loss += lean_relation_logistic_loss(
-                    ph1, prs1, pt1, c1r.reshape(bsp1, neg_num, dim), hb1, m1)
+                    ph1, prs1, pt1, c1r.reshape(bsp1, neg_num, dim), hb1, m1,
+                    neg_keep=keep1)
             if bs2 > 0:
                 loss += lean_relation_logistic_loss(
-                    ph2, prs2, pt2, c2r.reshape(bsp2, neg_num, dim), hb2, m2)
+                    ph2, prs2, pt2, c2r.reshape(bsp2, neg_num, dim), hb2, m2,
+                    neg_keep=keep2)
         return loss
 
     update = _make_stream_update(cfg, "rel_view", prep, loss_fn, pctx)

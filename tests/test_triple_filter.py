@@ -75,3 +75,38 @@ def test_trainer_uses_filter(tmp_path):
     assert tr.triple_filter is not None
     loss = tr.train_relation_view_1epo(1)
     assert np.isfinite(loss)
+
+def test_drop_mode_masks_all_true_triples():
+    """reject_mode='drop': every sampled candidate that assembles into a true
+    triple must carry keep == 0 (the Bloom filter has no false negatives)."""
+    from multike_tpu.sampling import sample_corruptions
+
+    rng = np.random.RandomState(3)
+    E = 12
+    all_pairs = [(h, 0, t) for h in range(E) for t in range(E) if h != t]
+    rng.shuffle(all_pairs)
+    triples = np.asarray(all_pairs[: int(0.6 * len(all_pairs))], np.int32)
+    tset = {tuple(x) for x in triples}
+    f = build_triple_filter(triples, log2m=16)
+
+    pos = jnp.asarray(triples[:50])
+    key = jax.random.PRNGKey(1)
+    cand, ch, keep = sample_corruptions(key, pos, 0, E, 10, tfilter=f,
+                                        reject_mode="drop")
+    assert keep is not None and keep.shape == (50, 10)
+    cand, ch, keep = np.asarray(cand), np.asarray(ch), np.asarray(keep)
+    h, r, t = triples[:50, 0], triples[:50, 1], triples[:50, 2]
+    for i in range(50):
+        for k in range(10):
+            neg = ((cand[i, k], r[i], t[i]) if ch[i, k]
+                   else (h[i], r[i], cand[i, k]))
+            if tuple(int(x) for x in neg) in tset:
+                assert keep[i, k] == 0.0
+
+
+def test_resample_mode_returns_none_keep():
+    from multike_tpu.sampling import sample_corruptions
+
+    pos = jnp.asarray(np.asarray([[0, 0, 1], [1, 0, 2]], np.int32))
+    _, _, keep = sample_corruptions(jax.random.PRNGKey(0), pos, 0, 10, 4)
+    assert keep is None
