@@ -56,6 +56,14 @@ def main(argv=None):
             overrides[key] = val
     cfg = cfg.replace(**overrides)
 
+    # Multi-host launch (one process per host on a pod slice): export
+    # COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID before invoking the
+    # CLI on every host; a single-process run is a no-op. Must happen before
+    # any device use so jax.devices() is the global list.
+    from multike_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
+
     from multike_tpu.align.predicates import PredicateAlignModel
     from multike_tpu.data.dataset import DataModel
 

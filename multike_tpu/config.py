@@ -139,9 +139,11 @@ class Config:
     # (or equal) the number of participating devices.
     mesh_dp: int = 1
     mesh_tp: int = 1
-    # Evaluation engine: row/column block sizes of the blockwise rank-count
-    # kernel (never materializes n1 x n2).
-    eval_row_block: int = 1024
+    # Evaluation engine block sizes (the engine never materializes n1 x n2):
+    # eval_row_block 0 = auto (rows sized so one (rows, n2) score tile fits
+    # the ~1 GB budget, eval/alignment._eval_row_block); >0 forces the size.
+    # eval_col_block is the CSLS column-penalty pass block.
+    eval_row_block: int = 0
     eval_col_block: int = 4096
     # Similarity matmul dtype for eval / neighbor refresh ('float32'|'bfloat16')
     eval_matmul_dtype: str = "float32"
@@ -151,7 +153,11 @@ class Config:
     # recall knob is THE refresh cost lever on v5e at DWY100K scale
     # (k=2000 over 100K rows/KG): 0.95 -> 6.2 s/KG, 0.85 -> 1.05 s/KG,
     # 0.7 -> 0.4 s/KG. Default 0.85 keeps ~1700 of the true top-2000 per
-    # entity at ~6x less refresh time.
+    # entity at ~6x less refresh time. NB backend divergence: TPU training
+    # samples from the approximate pool, CPU from the exact one — the
+    # truncated-phase quality band (tests/test_quality_parity.py) covers the
+    # sampling scheme, and the recall-vs-quality A/B is recorded in
+    # docs/EXPERIMENTS.md; set 1.0 to force exact top_k on TPU too.
     neighbor_recall_target: float = 0.85
     # Checkpointing
     checkpoint_dir: str = ""
@@ -169,10 +175,10 @@ class Config:
     row_sparse_min_rows: int = 400_000
     # RNG
     seed: int = 2019
-    # How many steps of one loss stream are fused into a single jitted
-    # lax.scan on device (0 = whole epoch).
-    steps_per_scan: int = 0
-    # Pallas kernels on/off (False falls back to pure-XLA paths; useful on CPU)
+    # Pallas rank kernel in the eval engine: True = allowed where supported
+    # (auto-detected per backend, eval/alignment._use_pallas_default — CPU
+    # and the wedge-prone axon tunnel always use the scanned-XLA engine);
+    # False = force the scanned-XLA engine everywhere.
     use_pallas: bool = True
     # word2vec token length for literal encoding (literal_encoder.py:161)
     tokens_max_len: int = 5

@@ -122,17 +122,19 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
     whole rank/argmax reduction in one pallas_call; elsewhere (or with
     use_pallas=False) a scanned-XLA path produces identical results.
 
-    ``mesh``: a ('dp','tp') device mesh routes the plain inner/cosine case
-    through the ring-decomposed ranker (eval/ring.py — both sides sharded
-    over 'dp', blocks rotated by ppermute); CSLS keeps the single-device
-    blockwise path (its penalties need global column top-k first)."""
+    ``mesh``: a ('dp','tp') device mesh routes the ranking through the
+    ring-decomposed ranker (eval/ring.py — both sides sharded over 'dp',
+    blocks rotated by ppermute). CSLS is ring-distributed too: a ring top-k
+    pass computes the column penalties, then the ranker scores
+    2*s_ij - r2_j."""
     e1 = np.asarray(embed1, np.float32)
     e2 = np.asarray(embed2, np.float32)
     assert e2.shape[0] >= e1.shape[0], "gold column must exist for every row"
-    if mesh is not None and csls_k == 0:
+    if mesh is not None:
         from multike_tpu.eval.ring import ring_rank_and_align
 
-        return ring_rank_and_align(mesh, e1, e2, normalize=normalize)
+        return ring_rank_and_align(mesh, e1, e2, normalize=normalize,
+                                   csls_k=csls_k)
     if normalize:
         e1 = _normalize_np(e1)
         e2 = _normalize_np(e2)
@@ -168,11 +170,14 @@ def rank_and_align(embed1, embed2, normalize: bool = True, csls_k: int = 0,
 def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
                      metric: str = "inner", normalize: bool = False,
                      csls_k: int = 0, accurate: bool = False,
-                     verbose: bool = True, matmul_dtype=None, mesh=None):
+                     verbose: bool = True, matmul_dtype=None, mesh=None,
+                     use_pallas: bool | None = None,
+                     row_block: Optional[int] = None, col_block: int = 4096):
     """API parity with base/alignment.py:8-79.
 
     ``nums_threads`` is accepted for compatibility; the engine is on-device
-    (``mesh`` distributes it, see rank_and_align).
+    (``mesh`` distributes it, see rank_and_align). ``use_pallas``/
+    ``row_block``/``col_block`` thread the Config engine knobs through.
     Returns (alignment_rest, hits1, mr, mrr)."""
     t = time.time()
     assert 1 in top_k
@@ -184,7 +189,8 @@ def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
     ranks, best = rank_and_align(
         embed1, embed2, normalize=normalize, csls_k=csls_k,
         matmul_dtype=matmul_dtype if matmul_dtype is not None else jnp.float32,
-        mesh=mesh)
+        mesh=mesh, use_pallas=use_pallas, row_block=row_block,
+        col_block=col_block)
     num = len(ranks)
     mr = float(np.mean(ranks + 1))
     mrr = float(np.mean(1.0 / (ranks + 1)))

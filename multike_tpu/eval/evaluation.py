@@ -8,23 +8,23 @@ from multike_tpu.eval.alignment import greedy_alignment
 
 def valid(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
           normalize: bool = False, csls_k: int = 0, accurate: bool = False,
-          matmul_dtype=None, mesh=None):
+          **engine_kw):
     if mapping is not None:
         embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
     _, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, matmul_dtype=matmul_dtype, mesh=mesh)
+        accurate, **engine_kw)
     return hits1_12, mrr_12
 
 
 def test(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
          normalize: bool = False, csls_k: int = 0, accurate: bool = True,
-         matmul_dtype=None, mesh=None):
+         **engine_kw):
     if mapping is not None:
         embeds1 = np.asarray(embeds1) @ np.asarray(mapping)
     alignment_rest_12, hits1_12, mr_12, mrr_12 = greedy_alignment(
         embeds1, embeds2, top_k, threads_num, metric, normalize, csls_k,
-        accurate, matmul_dtype=matmul_dtype, mesh=mesh)
+        accurate, **engine_kw)
     return alignment_rest_12, hits1_12, mrr_12
 
 

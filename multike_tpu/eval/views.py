@@ -42,6 +42,20 @@ def _mesh(trainer):
     return pctx.mesh if pctx is not None else None
 
 
+def _engine_kw(trainer):
+    """Engine knobs threaded from Config into rank_and_align: matmul dtype,
+    mesh routing, Pallas gate and block-size overrides."""
+    cfg = trainer.cfg
+    return dict(
+        matmul_dtype=_eval_dtype(trainer),
+        mesh=_mesh(trainer),
+        # True keeps per-backend auto-detection; False forces scanned-XLA
+        use_pallas=None if cfg.use_pallas else False,
+        row_block=cfg.eval_row_block if cfg.eval_row_block > 0 else None,
+        col_block=cfg.eval_col_block,
+    )
+
+
 def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     ent_embeds = _choose_embeds(trainer, embed_choice, w)
     kgs = trainer.kgs
@@ -51,8 +65,7 @@ def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds2 = ent_embeds[kgs.valid_entities2 + kgs.test_entities2]
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
                           trainer.cfg.test_threads_num, normalize=True,
-                          matmul_dtype=_eval_dtype(trainer),
-                          mesh=_mesh(trainer))
+                          **_engine_kw(trainer))
     return mrr_12
 
 
@@ -65,8 +78,7 @@ def test(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds2 = ent_embeds[kgs.test_entities2]
     _, _, mrr_12 = eva.test(embeds1, embeds2, None, trainer.cfg.top_k,
                             trainer.cfg.test_threads_num, normalize=True,
-                            matmul_dtype=_eval_dtype(trainer),
-                            mesh=_mesh(trainer))
+                            **_engine_kw(trainer))
     return mrr_12
 
 
@@ -114,8 +126,7 @@ def _wva_eval(trainer, ents1, ents2, label: str) -> float:
     embeds2 = w1 * nv2 + w2 * rv2 + w3 * av2
     _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
                           trainer.cfg.test_threads_num, normalize=True,
-                          matmul_dtype=_eval_dtype(trainer),
-                          mesh=_mesh(trainer))
+                          **_engine_kw(trainer))
     return mrr_12
 
 

@@ -48,7 +48,15 @@ class MeshContext:
     # ------------------------------------------------------------------
     @staticmethod
     def from_config(cfg, devices=None) -> Optional["MeshContext"]:
-        """Build from cfg.mesh_dp/mesh_tp; None when the mesh is trivial."""
+        """Build from cfg.mesh_dp/mesh_tp; None when the mesh is trivial.
+
+        Multi-process (``jax.process_count() > 1``, see
+        parallel/distributed.py): ``jax.devices()`` is the global list
+        ordered process-major, so the reshaped 'dp' rows line up with
+        processes — each host's edge partition trains on its own devices.
+        The mesh must then cover every device (JAX requires sharded
+        computations to span all processes) and tp is currently
+        single-process-only."""
         dp, tp = cfg.mesh_dp, cfg.mesh_tp
         if dp * tp <= 1:
             return None
@@ -56,6 +64,10 @@ class MeshContext:
         n = dp * tp
         assert n <= len(devices), \
             f"mesh {dp}x{tp} needs {n} devices, have {len(devices)}"
+        if jax.process_count() > 1:
+            assert n == len(devices), \
+                "multi-process mesh must span all global devices"
+            assert tp == 1, "tp row-sharding is single-process only for now"
         arr = np.asarray(devices[:n]).reshape(dp, tp)
         return MeshContext(Mesh(arr, ("dp", "tp")))
 
@@ -74,23 +86,44 @@ class MeshContext:
 
         return {k: spec_for(k, v) for k, v in params.items()}
 
-    def shard_params(self, params):
-        """device_put a params-shaped pytree onto the mesh. Row-sharded
-        tables must have row counts divisible by tp (pad first)."""
-        def place(name, leaf):
-            return jax.device_put(
-                leaf, NamedSharding(self.mesh, self.table_spec(name)))
+    def _put(self, leaf, spec: P):
+        """device_put that also works when the mesh spans processes (plain
+        device_put cannot target non-addressable devices)."""
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(leaf), np.shape(leaf))
+        return jax.device_put(leaf, sharding)
 
-        return {k: jax.tree_util.tree_map(lambda l, n=k: place(n, l), v)
-                for k, v in params.items()}
+    def shard_params(self, params):
+        """Place a params-shaped pytree onto the mesh. Row-sharded
+        tables must have row counts divisible by tp (pad first)."""
+        return {k: jax.tree_util.tree_map(
+            lambda l, n=k: self._put(l, self.table_spec(n)), v)
+            for k, v in params.items()}
 
     def shard_stream_opt_states(self, opt_states):
         return {s: self.shard_params(st) for s, st in opt_states.items()}
 
     def replicate(self, tree):
-        rep = NamedSharding(self.mesh, P())
-        return jax.tree_util.tree_map(
-            lambda l: jax.device_put(l, rep), tree)
+        return jax.tree_util.tree_map(lambda l: self._put(l, P()), tree)
+
+    def put_edge_partitioned(self, triples: np.ndarray):
+        """Edge-partition a host triple array over 'dp'. Multi-process: each
+        process contributes only its local_data_slice (padded by wraparound
+        so blocks are equal); rows are globally identical to the input, so
+        gathers by true-index stay exact. Returns (global_array, true_n)."""
+        from multike_tpu.parallel import distributed as dist
+
+        n = len(triples)
+        if jax.process_count() <= 1:
+            # single process: replicated (tiny arrays; GSPMD slices batches)
+            return self._put(np.asarray(triples), P()), n
+        rows = dist.padded_rows_per_process(n)
+        if rows > n:  # wraparound padding: duplicates of leading rows
+            triples = np.concatenate([triples, triples[:rows - n]])
+        local = np.ascontiguousarray(triples[dist.local_data_slice(rows)])
+        return dist.make_global_array(self.mesh, local, rows), n
 
     # ------------------------------------------------------------------
     def pad_table_rows(self, table: jnp.ndarray) -> jnp.ndarray:

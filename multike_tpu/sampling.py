@@ -213,6 +213,9 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
         it never accepts a true triple. ~2x sampling throughput in the
         neighbor-truncated phase (see docs/EXPERIMENTS.md breakdown).
     """
+    if reject_mode not in ("drop", "resample"):
+        raise ValueError(f"reject_mode must be 'drop' or 'resample', "
+                         f"got {reject_mode!r}")
     B = pos.shape[0]
     h, r, t = pos[:, 0], pos[:, 1], pos[:, 2]
     lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,))

@@ -334,6 +334,17 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         return (1.0 - bad_h.astype(jnp.float32),
                 1.0 - bad_t.astype(jnp.float32))
 
+    # Per-slot sampling is PRESAMPLED for the whole epoch in one bulk pass
+    # before the scan (epoch_impl below) whenever rejection doesn't need a
+    # resample loop: the neighbor-table / Bloom gathers for all steps become
+    # single large ops instead of `steps` small latency-bound ones on the
+    # scan's critical path (measured 1.45M -> see docs/EXPERIMENTS.md).
+    # 'resample' mode keeps in-scan sampling: its early-exit while_loop would
+    # degrade to ~`retries` full-epoch redraw passes in bulk form.
+    presample = (not use_chunks) and \
+        (tfilter is None or cfg.neg_rejection_tries == 0 or
+         cfg.neg_reject_mode == "drop")
+
     # All entity-row reads across both KGs (positives + candidates) go
     # through ONE fused gather; with row-sparse updates its gradient is
     # likewise ONE row-sparse apply. (Naive per-lookup autodiff emits one
@@ -360,7 +371,13 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
             aux = (hb1, keep1, hb2, keep2)
         return {"rv_ent": jnp.concatenate(parts)}, aux
 
-    def loss_fn(rows, dense, stopped, aux, t1b, m1, k1, t2b, m2, k2, nbr):
+    def prep_presampled(t1b, m1, cand1, hb1, keep1, t2b, m2, cand2, hb2,
+                        keep2):
+        parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
+                 t2b[:, 0], t2b[:, 2], cand2.ravel()]
+        return {"rv_ent": jnp.concatenate(parts)}, (hb1, keep1, hb2, keep2)
+
+    def _loss_body(rows, dense, aux, t1b, m1, t2b, m2):
         dim = rows["rv_ent"].shape[-1]
         rv_rows = l2_normalize(rows["rv_ent"], axis=-1)
         prs_all = lookup_norm_fast(dense["rel"],
@@ -400,7 +417,18 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                     neg_keep=keep2)
         return loss
 
-    update = _make_stream_update(cfg, "rel_view", prep, loss_fn, pctx)
+    def loss_fn(rows, dense, stopped, aux, t1b, m1, k1, t2b, m2, k2, nbr):
+        return _loss_body(rows, dense, aux, t1b, m1, t2b, m2)
+
+    def loss_fn_presampled(rows, dense, stopped, aux, t1b, m1, cand1, hb1,
+                           keep1, t2b, m2, cand2, hb2, keep2):
+        return _loss_body(rows, dense, aux, t1b, m1, t2b, m2)
+
+    if presample:
+        update = _make_stream_update(cfg, "rel_view", prep_presampled,
+                                     loss_fn_presampled, pctx)
+    else:
+        update = _make_stream_update(cfg, "rel_view", prep, loss_fn, pctx)
 
     def epoch_impl(params, opt_state, key, triples1, triples2, nbr):
         key, ki1, ki2 = jax.random.split(key, 3)
@@ -408,6 +436,41 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         idx2, m2 = _padded_epoch_indices(ki2, n2, bs2, bsp2, steps)
         step_keys = jax.random.split(key, steps + 1)
         key, step_keys = step_keys[0], step_keys[1:]
+
+        if presample:
+            # Bulk-sample the whole epoch's corruptions up front (one
+            # neighbor-table draw + one Bloom pass over steps*bs candidates;
+            # mesh mode: replicated keys => replicated candidate arrays, the
+            # dp-determinism contract of parallel/context.py holds).
+            kp1, kp2 = jax.random.split(step_keys[0])
+            pos1 = triples1[idx1]                       # (steps, bsp1, 3)
+            pos2 = triples2[idx2]
+            cand1, hb1, keep1 = sample_corruptions(
+                kp1, pos1.reshape(-1, 3), lo1, hi1, neg_num, nbr,
+                tfilter=tfilter, retries=cfg.neg_rejection_tries,
+                reject_mode="drop" if tfilter is not None else "resample")
+            cand2, hb2, keep2 = sample_corruptions(
+                kp2, pos2.reshape(-1, 3), lo2, hi2, neg_num, nbr,
+                tfilter=tfilter, retries=cfg.neg_rejection_tries,
+                reject_mode="drop" if tfilter is not None else "resample")
+            if keep1 is None:
+                keep1 = jnp.ones(cand1.shape, jnp.float32)
+                keep2 = jnp.ones(cand2.shape, jnp.float32)
+            xs = (pos1, m1, cand1.reshape(steps, bsp1, neg_num),
+                  hb1.reshape(steps, bsp1, neg_num),
+                  keep1.reshape(steps, bsp1, neg_num),
+                  pos2, m2, cand2.reshape(steps, bsp2, neg_num),
+                  hb2.reshape(steps, bsp2, neg_num),
+                  keep2.reshape(steps, bsp2, neg_num))
+
+            def body(carry, xs):
+                params, opt_state = carry
+                params, opt_state, loss = update(params, opt_state, *xs)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), xs)
+            return params, opt_state, key, jnp.sum(losses)
 
         def body(carry, xs):
             params, opt_state = carry

@@ -122,10 +122,17 @@ class MultiKETrainer:
             self.constants = self.pctx.replicate(self.constants)
 
         self.ranges = kgs.entity_id_ranges()
-        self.rel_triples1 = jnp.asarray(triples_to_array(
-            kgs.kg1.local_relation_triples_set))
-        self.rel_triples2 = jnp.asarray(triples_to_array(
-            kgs.kg2.local_relation_triples_set))
+        rt1 = triples_to_array(kgs.kg1.local_relation_triples_set)
+        rt2 = triples_to_array(kgs.kg2.local_relation_triples_set)
+        self._host_rel_triples = (rt1, rt2)  # for the Bloom filter build
+        if self.pctx is not None:
+            # edge-partitioned over 'dp' (multi-process: each host feeds
+            # only its local_data_slice — parallel/distributed.py)
+            self.rel_triples1, self.n_rel1 = self.pctx.put_edge_partitioned(rt1)
+            self.rel_triples2, self.n_rel2 = self.pctx.put_edge_partitioned(rt2)
+        else:
+            self.rel_triples1, self.n_rel1 = jnp.asarray(rt1), len(rt1)
+            self.rel_triples2, self.n_rel2 = jnp.asarray(rt2), len(rt2)
 
         # truncated-sampling neighbor table (one global table, per-KG counts)
         eps = cfg.truncated_epsilon
@@ -141,9 +148,8 @@ class MultiKETrainer:
         if cfg.neg_rejection_tries > 0 or cfg.chunk_exact_rejection:
             from multike_tpu.sampling import build_triple_filter
 
-            all_local = np.concatenate([
-                np.asarray(self.rel_triples1), np.asarray(self.rel_triples2)])
-            self.triple_filter = build_triple_filter(all_local)
+            self.triple_filter = build_triple_filter(
+                np.concatenate(self._host_rel_triples))
 
         self._epoch_fns: Dict = {}
         from multike_tpu.utils.metrics import MetricsLog
@@ -248,8 +254,8 @@ class MultiKETrainer:
     # ------------------------------------------------------------------
     def train_relation_view_1epo(self, epoch: int):
         start = time.time()
-        n1 = int(self.rel_triples1.shape[0])
-        n2 = int(self.rel_triples2.shape[0])
+        n1, n2 = self.n_rel1, self.n_rel2  # true counts (arrays may be
+        # dp-block-padded in multi-process mode; indices stay < n)
         with_nbr = self.neighbors is not None
         epoch_fn, steps, trained = self._get_epoch_fn("rel_view", n1, n2,
                                                       with_nbr)
@@ -408,13 +414,16 @@ class MultiKETrainer:
         kgs = self.kgs
         E = int(self.params["rv_ent"].shape[0])
         rv = l2_normalize(self.params["rv_ent"], axis=1)
-        u1 = jnp.asarray(np.asarray(kgs.useful_entities_list1, np.int32))
-        u2 = jnp.asarray(np.asarray(kgs.useful_entities_list2, np.int32))
+        # numpy (uncommitted) index arrays: identical on every process, so
+        # multi-process jit treats them as replicated inputs
+        u1 = np.asarray(kgs.useful_entities_list1, np.int32)
+        u2 = np.asarray(kgs.useful_entities_list2, np.int32)
         k1 = min(self.k_nbr1, int(u1.shape[0]))
         k2 = min(self.k_nbr2, int(u2.shape[0]))
         self.neighbors = _refresh_neighbor_state(
             rv, (u1, u2), E=E, kmax=max(k1, k2, 8), ks=(k1, k2),
-            use_approx=jax.default_backend() == "tpu",
+            use_approx=(jax.default_backend() == "tpu"
+                        and self.cfg.neighbor_recall_target < 1.0),
             recall_target=self.cfg.neighbor_recall_target)
         ent_num = kgs.kg1.entities_num + kgs.kg2.entities_num
         self._log("generating neighbors of {} entities costs {:.3f} s."
