@@ -5,7 +5,9 @@ Prints ONE JSON line to stdout:
 
 The workload is the reference's hot loop (MultiKE_model.py:291-317: batch of
 5000 positives + 10 negatives each, TransE logistic loss, Adagrad) on a
-DWY100K-shaped synthetic KG pair (100K entities, 600K triples total). Our
+DWY100K-sized synthetic KG pair (100K entities and ~600K triples PER KG —
+DWY100K is ~100K entities per side, reference README.md:4-22; 200K entities /
+1.2M triples total). Our
 number is the whole-epoch jitted scan on the TPU chip; ``vs_baseline`` is the
 speedup over a faithful torch-CPU implementation of the same math run on this
 host — the reference is a CPU/feed-dict TF1 trainer, so a same-host CPU
@@ -96,6 +98,20 @@ def synthetic_triples(rng, n_triples, ent_lo, ent_hi, n_rel, rel_lo):
     return np.stack([h, r, t], axis=1).astype(np.int32)
 
 
+def device_peak_flops():
+    """Rough bf16 MXU peak of the attached chip, for the MFU line. Known
+    kinds only; 0 (=unknown) suppresses the MFU field."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {"v5 lite": 197e12, "v5e": 197e12, "v4": 275e12,
+             "v5p": 459e12, "v6": 918e12, "v6 lite": 918e12}
+    for k, v in table.items():
+        if k in kind:
+            return v
+    return 0.0
+
+
 def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1,
               truncated=False):
     """Measures the trainer's REAL rel_view epoch fn, default path: Bloom
@@ -142,6 +158,17 @@ def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1,
         args = args + (neighbors,)
 
     opt = opt_states["rel_view"]
+    # XLA's own FLOP count of the whole-epoch executable (counts matmul +
+    # elementwise flops of forward, backward and the optimizer — everything
+    # the chip actually executes), for the FLOP/s / MFU line.
+    epoch_flops = 0.0
+    try:
+        ca = epoch_fn.lower(params, opt, key, *args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        epoch_flops = float(ca.get("flops", 0.0))
+    except Exception as e:
+        log("cost_analysis unavailable:", e)
     for _ in range(warmup):
         params, opt, key, loss = epoch_fn(params, opt, key, *args)
     float(loss)  # force (block_until_ready does not sync the axon tunnel)
@@ -154,8 +181,10 @@ def bench_jax(cfg, triples1, triples2, ranges, epochs, warmup=1,
     float(loss)
     dt = time.perf_counter() - t0
     tps = trained * epochs / dt
-    log(f"jax ({tag}): {epochs} epochs in {dt:.3f}s -> {tps:,.0f} triples/s")
-    return tps
+    flops_per_s = epoch_flops * epochs / dt
+    log(f"jax ({tag}): {epochs} epochs in {dt:.3f}s -> {tps:,.0f} triples/s"
+        f", {flops_per_s / 1e12:.3f} TFLOP/s (XLA-counted)")
+    return tps, flops_per_s
 
 
 def bench_torch_cpu(cfg, triples1, triples2, ranges, steps):
@@ -234,7 +263,9 @@ def main():
         base_steps = ns.baseline_steps or 5
         cfg = Config(dim=75, batch_size=1000, neg_triple_num=10)
     else:
-        n_ent, n_tri, n_rel = 50_000, 300_000, 500
+        # True DWY100K size: ~100K entities and ~600K triples per KG side
+        # (reference README.md:4-22).
+        n_ent, n_tri, n_rel = 100_000, 600_000, 500
         epochs = ns.epochs or 5
         base_steps = ns.baseline_steps or 20
         cfg = Config(dim=75, batch_size=5000, neg_triple_num=10)
@@ -259,19 +290,44 @@ def main():
         log("reporting cached last-good TPU measurement (stale_hardware)")
         print(json.dumps(cached), flush=True)
         return
-    tps = bench_jax(cfg, triples1, triples2, ranges, epochs)
-    tps_trunc = bench_jax(cfg, triples1, triples2, ranges, epochs,
-                          truncated=True)
+    tps, fps = bench_jax(cfg, triples1, triples2, ranges, epochs)
+    tps_trunc, fps_trunc = bench_jax(cfg, triples1, triples2, ranges, epochs,
+                                     truncated=True)
     base = bench_torch_cpu(cfg, triples1, triples2, ranges, base_steps)
 
+    peak = device_peak_flops() if tpu_ok else 0.0
     result = {
         "metric": "relation_view_transe_training_throughput",
         "value": round(tps, 1),
         "unit": "triples/s/chip",
         "vs_baseline": round(tps / base, 3),
-        "truncated_phase_value": round(tps_trunc, 1),
-        "bloom_rejection": True,
+        "entities_per_kg": n_ent,
+        "triples_per_kg": n_tri,
+        # Per-phase truth (VERDICT r2 weak #2): the uniform phase runs
+        # chunk_shared with chunk_exact_rejection=False — its pools are NOT
+        # Bloom-filtered (config.py's documented default); only the truncated
+        # per_slot phase applies Bloom 'drop' rejection.
+        "phases": {
+            "uniform": {
+                "triples_per_s": round(tps, 1),
+                "neg_scheme": "chunk_shared", "neg_pool_size": cfg.neg_pool_size,
+                "bloom_rejection": bool(cfg.chunk_exact_rejection),
+                "xla_tflops_per_s": round(fps / 1e12, 3),
+            },
+            "truncated": {
+                "triples_per_s": round(tps_trunc, 1),
+                "neg_scheme": "per_slot",
+                "bloom_rejection": cfg.neg_rejection_tries > 0,
+                "reject_mode": cfg.neg_reject_mode,
+                "xla_tflops_per_s": round(fps_trunc / 1e12, 3),
+            },
+        },
     }
+    if peak:
+        # f32 arithmetic on a bf16-rated MXU: the MFU denominator is the
+        # bf16 peak, so this under-reports; it anchors the order of magnitude
+        # (a d=75 gather/scatter workload is bandwidth-, not FLOP-bound).
+        result["mfu_vs_bf16_peak"] = round(fps / peak, 5)
     if tpu_ok and not ns.quick:
         try:
             with open(_CACHE_PATH, "w") as f:

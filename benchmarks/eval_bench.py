@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--n2", type=int, default=70_000)
     ap.add_argument("--dim", type=int, default=75)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32", help="engine matmul dtype")
+    ap.add_argument("--parity", action="store_true",
+                    help="run BOTH dtypes and report bf16-vs-f32 rank parity")
     ns = ap.parse_args()
 
     if ns.cpu:
@@ -69,26 +73,55 @@ def main():
     d2 = jnp.asarray(e2)
     d1 = d1 / jnp.linalg.norm(d1, axis=1, keepdims=True)
     d2 = d2 / jnp.linalg.norm(d2, axis=1, keepdims=True)
-    gold = jnp.sum(d1 * d2[:ns.n1], axis=1)
     rb = _eval_row_block(ns.n1, ns.n2)
-    cnt, _ = _rank_all(d1, gold, d2, None, rb)
-    np.asarray(cnt)
-    t = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        cnt, bidx = _rank_all(d1, gold, d2, None, rb)
-    np.asarray(cnt), np.asarray(bidx)
-    hot_engine = (time.perf_counter() - t) / reps
+
+    def engine_run(dtype, reps=3):
+        """Times the engine at ``dtype`` (bf16 casts the operands; the MXU
+        accumulates in f32 either way) and returns (seconds, ranks)."""
+        a1, a2 = d1.astype(dtype), d2.astype(dtype)
+        gold = jnp.sum(a1 * a2[:ns.n1], axis=1).astype(jnp.float32)
+        cnt, _ = _rank_all(a1, gold, a2, None, rb)
+        np.asarray(cnt)
+        t = time.perf_counter()
+        for _ in range(reps):
+            cnt, bidx = _rank_all(a1, gold, a2, None, rb)
+        np.asarray(cnt), np.asarray(bidx)
+        return (time.perf_counter() - t) / reps, np.asarray(cnt)
+
+    dtype = jnp.bfloat16 if ns.dtype == "bfloat16" else jnp.float32
+    hot_engine, ranks_main = engine_run(dtype)
     engine_rows_per_s = ns.n1 / hot_engine
-    log(f"engine-only: {hot_engine:.3f}s  ({engine_rows_per_s:,.0f} rows/s)")
-    print(json.dumps({
+    log(f"engine-only ({ns.dtype}): {hot_engine:.3f}s  "
+        f"({engine_rows_per_s:,.0f} rows/s)")
+    out = {
         "metric": "eval_rank_rows_per_s",
         "value": round(engine_rows_per_s, 1),
         "unit": f"rows/s @ n2={ns.n2}, d={ns.dim}",
+        "dtype": ns.dtype,
         "seconds_hot_engine": round(hot_engine, 4),
         "seconds_hot_with_upload": round(hot, 4),
         "hits1": hits1,
-    }))
+    }
+    if ns.parity:
+        other = jnp.float32 if dtype == jnp.bfloat16 else jnp.bfloat16
+        hot_other, ranks_other = engine_run(other)
+        mrr = float(np.mean(1.0 / (1.0 + ranks_main)))
+        mrr_o = float(np.mean(1.0 / (1.0 + ranks_other)))
+        agree = float(np.mean(ranks_main == ranks_other))
+        h1 = float(np.mean(ranks_main == 0))
+        h1_o = float(np.mean(ranks_other == 0))
+        name_o = "bfloat16" if other == jnp.bfloat16 else "float32"
+        log(f"parity vs {name_o}: rank agreement {agree:.4f}, "
+            f"hits@1 {h1:.4f} vs {h1_o:.4f}, mrr {mrr:.5f} vs {mrr_o:.5f}, "
+            f"{hot_other:.3f}s")
+        out["parity"] = {
+            "other_dtype": name_o,
+            "seconds_hot_engine_other": round(hot_other, 4),
+            "rank_agreement": round(agree, 5),
+            "hits1_delta": round(h1 - h1_o, 5),
+            "mrr_delta": round(mrr - mrr_o, 6),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -17,7 +17,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 
-def run(scheme: str, folder: str, epochs: int, pool: int = 0):
+def run(scheme: str, folder: str, epochs: int, pool: int = 0,
+        reject_mode: str = "drop", truncated_scheme: str = "per_slot",
+        truncated_chunk: int = 256):
     from multike_tpu.align.predicates import PredicateAlignModel
     from multike_tpu.config import Config
     from multike_tpu.data.dataset import DataModel
@@ -29,6 +31,9 @@ def run(scheme: str, folder: str, epochs: int, pool: int = 0):
                  encoder_epoch=3, neg_triple_num=10, max_epoch=epochs,
                  learning_rate=0.01, neg_scheme=scheme, neg_pool_size=pool,
                  start_valid=999, eval_freq=999, truncated_freq=8,
+                 neg_reject_mode=reject_mode,
+                 truncated_neg_scheme=truncated_scheme,
+                 truncated_chunk_size=truncated_chunk,
                  start_predicate_soft_alignment=5, is_save=False,
                  word2vec_path=folder + "mini_word2vec.vec")
     data = DataModel(cfg)
@@ -50,10 +55,31 @@ def main():
 
     folder = synthetic.generate("/tmp/negq_ds/", seed=5, n_entities=5000,
                                 n_rel_triples=30000, n_attr_triples=15000)
-    for scheme, pool in (("chunk_shared", 0), ("chunk_shared", 256),
-                         ("per_slot", 0)):
-        out = run(scheme, folder, epochs, pool=pool)
+    # (scheme, pool, reject_mode). The per_slot drop-vs-resample pair is the
+    # A/B behind Config.neg_reject_mode's default: truncated-neighbor sampling
+    # activates at epoch 8 (truncated_freq=8), so most epochs exercise the
+    # rejection path under neighbor-restricted candidate pools — the regime
+    # where 'drop' thins negatives non-uniformly toward high-degree entities.
+    # (scheme, pool, reject, truncated_scheme, truncated_chunk). Final pair
+    # of entries: the truncated-phase chunk_shared A/B (neighbor-restricted
+    # shared pools vs per-entity per_slot draws; Config.truncated_neg_scheme).
+    configs = (("chunk_shared", 0, "drop", "per_slot", 256),
+               ("chunk_shared", 256, "drop", "per_slot", 256),
+               ("per_slot", 0, "drop", "per_slot", 256),
+               ("per_slot", 0, "resample", "per_slot", 256),
+               ("chunk_shared", 256, "drop", "chunk_shared", 256),
+               ("chunk_shared", 256, "drop", "chunk_shared", 1024))
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    for scheme, pool, reject, tsch, tchunk in configs:
+        tag = f"{scheme}:{pool}:{reject}:{tsch}:{tchunk}"
+        if only and tag not in only:
+            continue
+        out = run(scheme, folder, epochs, pool=pool, reject_mode=reject,
+                  truncated_scheme=tsch, truncated_chunk=tchunk)
         out["neg_pool_size"] = pool
+        out["neg_reject_mode"] = reject
+        out["truncated_neg_scheme"] = tsch
+        out["truncated_chunk_size"] = tchunk
         print(json.dumps(out), flush=True)
 
 

@@ -1,0 +1,128 @@
+"""Quality pin at the largest feasible scale (VERDICT r2 item 5).
+
+Trains the FULL ITC driver on a DWY-shaped synthetic pair — default 50K
+entities/KG, 300K rel + 150K attr triples/KG, dim 75, truncated-neighbor
+sampling active for most epochs — and records Hits@1/MRR per view plus
+seconds/epoch. This is the closest available proxy for "reference Hits@1 on
+DBP-WD" (BASELINE.json) while the DWY100K archive is absent from the
+reference checkout (BASELINE.md): same per-KG entity/triple scale class, same
+schedule shape (uniform epochs -> truncated epochs at truncated_freq,
+predicate soft alignment, neighbor refreshes), same eval protocol
+(eval/views.test, accurate mode).
+
+Runs on the default backend (the TPU chip when JAX_PLATFORMS=axon); pass
+--cpu to force the host. Prints per-view JSON lines and writes
+QUALITY_AT_SCALE.json at the repo root.
+
+Usage: python benchmarks/quality_at_scale.py [--entities 50000]
+           [--epochs 50] [--check-band]
+--check-band asserts the committed regression band (docs/EXPERIMENTS.md) and
+exits nonzero on violation.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Regression band (floors, not targets: a run under these is a quality
+# regression). Set from the recorded 50K-entity/50-epoch round-3 run — see
+# docs/EXPERIMENTS.md "Alignment quality at DWY scale" and
+# QUALITY_AT_SCALE.json for the measured values the floors derive from.
+BAND = {"rv": 0.90, "final": 0.55, "nv": 0.45}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=50_000)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--dim", type=int, default=75)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--check-band", action="store_true")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "QUALITY_AT_SCALE.json"))
+    ns = ap.parse_args()
+
+    if ns.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.config import Config
+    from multike_tpu.data import synthetic
+    from multike_tpu.data.dataset import DataModel
+    from multike_tpu.eval import views as vw
+    from multike_tpu.train.itc import MultiKE_ITC
+
+    n = ns.entities
+    folder = synthetic.generate(
+        f"/tmp/qscale_{n}/", seed=11, n_entities=n,
+        n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
+        n_rel_triples=6 * n, n_attr_triples=3 * n)
+    log(f"dataset generated at {folder} ({n} entities/KG, {6*n} rel + "
+        f"{3*n} attr triples/KG), backend={jax.default_backend()}")
+
+    cfg = Config(
+        training_data=folder, dim=ns.dim, batch_size=5000,
+        entity_batch_size=5000, attribute_batch_size=5000,
+        encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
+        learning_rate=0.01, truncated_freq=max(5, ns.epochs // 5),
+        start_predicate_soft_alignment=max(5, ns.epochs // 5),
+        start_valid=999, eval_freq=999, is_save=False,
+        word2vec_path=folder + "mini_word2vec.vec")
+    t0 = time.time()
+    data = DataModel(cfg)
+    pam = PredicateAlignModel(data.kgs, cfg)
+    prep_s = time.time() - t0
+    log(f"data+predicates prepared in {prep_s:.1f}s")
+
+    model = MultiKE_ITC(cfg, data, pam, verbose=True)
+    t0 = time.time()
+    model.run()
+    train_s = time.time() - t0
+    log(f"trained {ns.epochs} epochs in {train_s:.1f}s "
+        f"({train_s / ns.epochs:.2f} s/epoch)")
+
+    out = {
+        "metric": "itc_quality_at_scale",
+        "entities_per_kg": n, "epochs": ns.epochs, "dim": ns.dim,
+        "backend": jax.default_backend(),
+        "prep_seconds": round(prep_s, 1),
+        "train_seconds": round(train_s, 1),
+        "seconds_per_epoch": round(train_s / ns.epochs, 2),
+        "truncated_freq": cfg.truncated_freq,
+        "views": {},
+    }
+    for choice in ("rv", "final", "av", "nv"):
+        t0 = time.time()
+        mrr = float(vw.test(model, embed_choice=choice))
+        out["views"][choice] = {
+            "test_mrr": round(mrr, 4),
+            "eval_seconds": round(time.time() - t0, 2),
+        }
+        log(f"view {choice}: test MRR {mrr:.4f}")
+    print(json.dumps(out), flush=True)
+    with open(ns.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+    if ns.check_band:
+        bad = {v: (out["views"][v]["test_mrr"], floor)
+               for v, floor in BAND.items()
+               if out["views"][v]["test_mrr"] < floor}
+        if bad:
+            log(f"QUALITY BAND VIOLATION: {bad}")
+            sys.exit(1)
+        log("quality band ok")
+
+
+if __name__ == "__main__":
+    main()

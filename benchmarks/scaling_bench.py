@@ -63,12 +63,21 @@ def main():
     ranges = ((0, half), (half, E))
 
     results = {}
-    dp_sizes = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
-    for dp in dp_sizes:
+    ndev = len(jax.devices())
+    dp_sizes = [d for d in (1, 2, 4, 8) if d <= ndev]
+    shapes = [(dp, 1) for dp in dp_sizes]
+    if ndev >= 8:
+        shapes.append((4, 2))  # tp=2 variant: row-sharded entity tables
+    for dp, tp in shapes:
         cfg = Config(dim=75, neg_triple_num=10, batch_size=ns.batch,
-                     mesh_dp=dp, mesh_tp=1, row_sparse_updates=True)
+                     mesh_dp=dp, mesh_tp=tp, row_sparse_updates=True)
         pctx = MeshContext.from_config(cfg)
         params = init_params(cfg, E, R, 2)
+        if pctx is not None and pctx.tp > 1:
+            from multike_tpu.parallel.context import ROW_SHARDED_TABLES
+
+            for t in ROW_SHARDED_TABLES:
+                params[t] = pctx.pad_table_rows(params[t])
         opt_states = streams.init_stream_opt_states(cfg, params, pctx=pctx)
         if pctx is not None:
             params = pctx.shard_params(params)
@@ -87,16 +96,20 @@ def main():
         float(loss)
         dt = time.perf_counter() - t0
         tps = trained * ns.epochs / dt
-        results[dp] = tps
-        print(f"dp={dp}: {tps:,.0f} triples/s ({steps} steps/epoch)",
+        results[(dp, tp)] = tps
+        print(f"dp={dp} tp={tp}: {tps:,.0f} triples/s ({steps} steps/epoch)",
               file=sys.stderr, flush=True)
 
-    base = results[dp_sizes[0]]
-    effs = {d: results[d] / (base * d) for d in dp_sizes}
+    base = results[(dp_sizes[0], 1)]
+    effs = {k: v / (base * k[0] * k[1]) for k, v in results.items()}
     print(json.dumps({
         "metric": "rel_view_epoch_scaling",
-        "throughput": {str(d): round(v, 1) for d, v in results.items()},
-        "efficiency_vs_dp1": {str(d): round(e, 3) for d, e in effs.items()},
+        "throughput": {f"dp{d}_tp{t}": round(v, 1)
+                       for (d, t), v in results.items()},
+        "efficiency_vs_dp1": {f"dp{d}_tp{t}": round(e, 3)
+                              for (d, t), e in effs.items()},
+        "devices": ndev,
+        "backend": jax.default_backend(),
     }))
 
 

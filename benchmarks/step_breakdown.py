@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--n-ent", type=int, default=50_000, help="entities per KG")
     ap.add_argument("--truncated", action="store_true",
                     help="per_slot + neighbor tables (post-refresh phase)")
+    ap.add_argument("--presampled", action="store_true",
+                    help="hoist sampling out of the scan (the shipped "
+                         "presampled path): the 'sample' phase then measures "
+                         "the bulk draw amortized per step")
+    ap.add_argument("--dense-apply", action="store_true",
+                    help="measure the dense-optax-style apply in the 'full' "
+                         "phase instead of the row-sparse one")
     ap.add_argument("--cpu", action="store_true")
     ns = ap.parse_args()
 
@@ -169,8 +176,11 @@ def main():
                 neg_keep=keep2)
         return loss
 
-    def step(phase, params, acc, key, nbr_arg):
-        ids, aux, t1b, t2b = sample_phase(key, nbr_arg)
+    def step(phase, params, acc, key, nbr_arg, pre=None):
+        if pre is None:
+            ids, aux, t1b, t2b = sample_phase(key, nbr_arg)
+        else:
+            ids, aux, t1b, t2b = pre
         if phase == "sample":
             return params, acc, jnp.sum(ids.astype(jnp.float32))
         rows = params["rv_ent"][ids]
@@ -188,8 +198,17 @@ def main():
             return params, acc, loss + jnp.sum(g_rows[0]) + jnp.sum(g_rel[0])
         params = dict(params)
         acc = dict(acc)
-        params["rv_ent"], acc["rv_ent"] = sparse_adagrad.row_apply(
-            params["rv_ent"], acc["rv_ent"], ids, g_rows, cfg.learning_rate)
+        if ns.dense_apply:
+            # dense-optax-style update: scatter the row grads into a full
+            # (E, d) gradient table, then Adagrad over the whole table —
+            # what the trainer's 'auto' mode does below row_sparse_min_rows
+            g_tab = jnp.zeros_like(params["rv_ent"]).at[ids].add(g_rows)
+            params["rv_ent"], acc["rv_ent"] = sparse_adagrad.dense_apply(
+                params["rv_ent"], acc["rv_ent"], g_tab, cfg.learning_rate)
+        else:
+            params["rv_ent"], acc["rv_ent"] = sparse_adagrad.row_apply(
+                params["rv_ent"], acc["rv_ent"], ids, g_rows,
+                cfg.learning_rate)
         params["rel"], acc["rel"] = sparse_adagrad.dense_apply(
             params["rel"], acc["rel"], g_rel, cfg.learning_rate)
         return params, acc, loss
@@ -198,17 +217,36 @@ def main():
     results = {}
     prev = 0.0
     for phase in ["sample", "gather", "forward", "backward", "full"]:
-        @jax.jit
-        def run(params, acc, key, nbr_arg, _phase=phase):
-            ks = jax.random.split(key, S)
+        if ns.presampled:
+            # bulk-draw all S steps' samples in one op (vmapped sample_phase
+            # == the shipped presampled path's op shapes), then scan the
+            # remaining phases over the presampled slices
+            @jax.jit
+            def run(params, acc, key, nbr_arg, _phase=phase):
+                ks = jax.random.split(key, S)
+                pre = jax.vmap(lambda k: sample_phase(k, nbr_arg))(ks)
+                if _phase == "sample":
+                    return jnp.sum(pre[0].astype(jnp.float32))
 
-            def body(carry, sk):
-                p, a = carry
-                p, a, out = step(_phase, p, a, sk, nbr_arg)
-                return (p, a), out
+                def body(carry, xs):
+                    p, a = carry
+                    p, a, out = step(_phase, p, a, None, None, pre=xs)
+                    return (p, a), out
 
-            (p, a), outs = jax.lax.scan(body, (params, acc), ks)
-            return jnp.sum(outs)
+                (p, a), outs = jax.lax.scan(body, (params, acc), pre)
+                return jnp.sum(outs)
+        else:
+            @jax.jit
+            def run(params, acc, key, nbr_arg, _phase=phase):
+                ks = jax.random.split(key, S)
+
+                def body(carry, sk):
+                    p, a = carry
+                    p, a, out = step(_phase, p, a, sk, nbr_arg)
+                    return (p, a), out
+
+                (p, a), outs = jax.lax.scan(body, (params, acc), ks)
+                return jnp.sum(outs)
 
         key = jax.random.PRNGKey(0)
         float(run(params, acc, key, nbr))        # compile + warm
@@ -223,7 +261,9 @@ def main():
     mode = "truncated_per_slot" if ns.truncated else "uniform_chunk_shared"
     print(json.dumps({"metric": f"rel_view_step_breakdown_{mode}",
                       "unit": "ms/step", "phases_cumulative": results,
-                      "batch_size": cfg.batch_size, "entities": E}))
+                      "batch_size": cfg.batch_size, "entities": E,
+                      "presampled": ns.presampled,
+                      "apply": "dense" if ns.dense_apply else "row_sparse"}))
 
 
 if __name__ == "__main__":

@@ -71,8 +71,11 @@ class Config:
     #   "resample" — reference-exact semantics (base/batch.py:86-116): redraw
     #     offenders up to neg_rejection_tries times (early-exit while_loop),
     #     accepting survivors of the final pass.
-    # Quality A/B on the 20-epoch synthetic ITC shows no measurable MRR
-    # difference (benchmarks/neg_scheme_quality.py).
+    # Direct drop-vs-resample A/B (benchmarks/neg_scheme_quality.py, 20-epoch
+    # full ITC with truncated sampling active from epoch 8): drop rv/final
+    # test MRR 0.9511/0.6695 vs resample 0.9452/0.6588 — 'drop' is within
+    # noise (slightly ahead) at lower cost, so it is the default; set
+    # "resample" for reference-exact semantics (recorded docs/EXPERIMENTS.md).
     neg_reject_mode: str = "drop"
     # Exact rejection for the chunk_shared scheme: zero-mask (positive,
     # pool-candidate) pairs that are true triples. Default OFF: the mask
@@ -94,6 +97,27 @@ class Config:
     #     sampling is active (neighbor candidates are entity-specific).
     neg_scheme: str = "chunk_shared"
     neg_chunk_size: int = 1024
+    # Negative scheme of the neighbor-TRUNCATED phase (epochs past the first
+    # refresh — where the reference spends most of its schedule,
+    # args.json:26-28):
+    #   "per_slot"     — reference-exact: each negative slot draws iid from
+    #     the corrupted entity's OWN top-(1-eps) neighbor row
+    #     (base/batch.py:62-116).
+    #   "chunk_shared" — chunks of truncated_chunk_size positives share
+    #     neighbor-restricted candidate pools (each pool member drawn from a
+    #     uniformly chosen chunk member's neighbor row); scoring rides the
+    #     chunk-loss matmul and — decisively on TPU — the gradient scatter
+    #     rows per step drop O(B*K) -> O(chunks*C). XLA:TPU scatters
+    #     serialize per row (~33 ns/row measured on v5e,
+    #     benchmarks/apply_bench.py), so per_slot's 50K+ scattered rows per
+    #     step are the truncated-phase wall. Hard negatives become
+    #     chunk-mixture instead of per-entity; quality A/B in
+    #     docs/EXPERIMENTS.md (benchmarks/neg_scheme_quality.py).
+    truncated_neg_scheme: str = "per_slot"
+    # Chunk size of the truncated chunk_shared scheme. Smaller chunks mix
+    # fewer entities' neighbor rows per pool (harder negatives, more scatter
+    # rows); see the quality/throughput A/B in docs/EXPERIMENTS.md.
+    truncated_chunk_size: int = 256
     # Size C of each shared candidate pool per chunk (head pool + tail pool);
     # 0 = neg_triple_num. Every positive scores against all 2C pool members,
     # each weighted neg_triple_num / (2C) — same expectation as the

@@ -73,11 +73,25 @@ def lean_relation_logistic_loss(phs, prs, pts, cand_rows, corrupt_head,
     :func:`relation_logistic_loss` on the assembled negatives; it just
     avoids gathering (and back-scattering) each positive row K extra times.
     ``neg_keep`` (B, K), optional: 0 drops a negative slot (Bloom 'drop'
-    rejection of true triples, sampling.sample_corruptions)."""
+    rejection of true triples, sampling.sample_corruptions).
+
+    The negative score is computed via the norm expansion (same identity the
+    chunk loss uses) instead of materializing (B, K, D) head/tail selects:
+      corrupt head:  -||c + r - t||^2 = -(|c|^2 + |r - t|^2 + 2 c.(r - t))
+      corrupt tail:  -||h + r - c||^2 = -(|h + r|^2 + |c|^2 - 2 (h + r).c)
+    so the only (B, K, D)-sized work is three fused multiply-reduces over
+    ``cand_rows`` (|c|^2, c.rt, c.hr) and the head/tail select happens on
+    (B, K) scalars — ~2x less HBM traffic through the fwd+bwd of the
+    truncated-phase step (measured v5e, docs/EXPERIMENTS.md)."""
     pos = jax.nn.softplus(-transe_score(phs, prs, pts))
-    nh = jnp.where(corrupt_head[..., None], cand_rows, phs[:, None])
-    nt = jnp.where(corrupt_head[..., None], pts[:, None], cand_rows)
-    neg = jax.nn.softplus(transe_score(nh, prs[:, None], nt))
+    rt = prs - pts                                        # (B, D)
+    hr = phs + prs
+    c_sq = _sq_norm(cand_rows)                            # (B, K)
+    c_rt = jnp.einsum("bkd,bd->bk", cand_rows, rt)
+    c_hr = jnp.einsum("bkd,bd->bk", cand_rows, hr)
+    ns_h = -(c_sq + _sq_norm(rt)[:, None] + 2.0 * c_rt)
+    ns_t = -(_sq_norm(hr)[:, None] + c_sq - 2.0 * c_hr)
+    neg = jax.nn.softplus(jnp.where(corrupt_head, ns_h, ns_t))
     if neg_keep is not None:
         neg = neg * neg_keep
     if pos_mask is not None:

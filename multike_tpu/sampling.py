@@ -221,13 +221,19 @@ def sample_corruptions(key, pos: jnp.ndarray, lo, hi, neg_num: int,
     lo = jnp.broadcast_to(jnp.asarray(lo, jnp.int32), (B,))
     hi = jnp.broadcast_to(jnp.asarray(hi, jnp.int32), (B,))
 
+    if neighbors is not None:
+        # per-POSITIVE cnt gathers (2B) instead of per-slot (B*K): each slot's
+        # target is h or t, so the two per-side counts cover every coin
+        cnt_h = neighbors.cnt[h]            # (B,)
+        cnt_t = neighbors.cnt[t]
+
     def draw(k, corrupt_head):
         k_ent, k_pick = jax.random.split(k)
         uniform = (lo[:, None] + jax.random.randint(k_ent, (B, neg_num), 0, 1 << 30)
                    % (hi - lo)[:, None])
         if neighbors is not None:
             target = jnp.where(corrupt_head, h[:, None], t[:, None])
-            cnts = neighbors.cnt[target]    # one gather; cnt 0 == no neighbors
+            cnts = jnp.where(corrupt_head, cnt_h[:, None], cnt_t[:, None])
             col = (jax.random.randint(k_pick, (B, neg_num), 0, 1 << 30)
                    % jnp.maximum(cnts, 1))
             from_nbr = neighbors.nbr[target, col]
@@ -284,6 +290,50 @@ def sample_shared_corruptions(key, num_chunks: int, neg_num: int, lo: int, hi: i
     ch = lo + jax.random.randint(kh, (num_chunks, neg_num), 0, 1 << 30) % span
     ct = lo + jax.random.randint(kt, (num_chunks, neg_num), 0, 1 << 30) % span
     return ch, ct
+
+
+def sample_shared_neighbor_corruptions(key, pos: jnp.ndarray, num_chunks: int,
+                                       chunk_rows: int, neg_num: int,
+                                       lo: int, hi: int,
+                                       neighbors: NeighborState):
+    """Neighbor-restricted chunk-shared candidate pools (the truncated-phase
+    analog of :func:`sample_shared_corruptions`; VERDICT r2 item 2's
+    'neighbor-bucketed chunk scheme').
+
+    Each chunk of ``chunk_rows`` positives shares a head-corruption pool and a
+    tail-corruption pool of ``neg_num`` candidates. Pool slot j of chunk c is
+    drawn by picking a uniform DONOR positive u within the chunk and sampling
+    from the neighbor row of the entity it would replace (``nbr[h_u]`` for
+    the head pool, ``nbr[t_u]`` for the tail pool; uniform over [lo, hi) when
+    the donor entity has no neighbor list). Each positive then scores against
+    all 2*neg_num pool members at weight K/(2C) (losses.py chunk loss).
+
+    vs per_slot truncated draws: the marginal candidate distribution becomes
+    the chunk's MIXTURE of neighbor distributions instead of each positive's
+    own — hard negatives are shared across the chunk rather than per-entity.
+    Quality A/B'd against per_slot in benchmarks/neg_scheme_quality.py /
+    docs/EXPERIMENTS.md; the payoff is structural: gradient scatter rows per
+    step drop from O(B*K) to O(chunks*C), which is THE truncated-phase
+    bottleneck on TPU (XLA scatters serialize per row — ~33 ns/row on v5e —
+    while gathers are parallel; benchmarks/apply_bench.py).
+
+    ``pos``: (num_chunks * chunk_rows, 3) positive triples (chunk-padded).
+    Returns ``(cand_h, cand_t)``, each (num_chunks, neg_num) int32."""
+    kd_h, kd_t, kc_h, kc_t, ku = jax.random.split(key, 5)
+    h = pos[:, 0].reshape(num_chunks, chunk_rows)
+    t = pos[:, 2].reshape(num_chunks, chunk_rows)
+    span = hi - lo
+    uni = lo + jax.random.randint(ku, (2, num_chunks, neg_num), 0, 1 << 30) % span
+
+    def pool(kd, kc, ents, uniform):
+        donor = jax.random.randint(kd, (num_chunks, neg_num), 0, chunk_rows)
+        target = jnp.take_along_axis(ents, donor, axis=1)   # (NC, C)
+        cnts = neighbors.cnt[target]
+        col = (jax.random.randint(kc, (num_chunks, neg_num), 0, 1 << 30)
+               % jnp.maximum(cnts, 1))
+        return jnp.where(cnts > 0, neighbors.nbr[target, col], uniform)
+
+    return pool(kd_h, kc_h, h, uni[0]), pool(kd_t, kc_t, t, uni[1])
 
 
 def sample_neg_heads(key, pos_h: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,

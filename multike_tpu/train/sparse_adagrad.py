@@ -11,24 +11,31 @@ read/modify/write, and the parameter update each traverse the full table.
 At E=100K/d=75 that's ~150 MB of traffic per step; at 1M+ entities it
 dominates the step outright.
 
-This module applies the *identical* update touching only the batch rows:
+This module applies the *identical* update touching only the batch rows,
+with NO sort (dense Adagrad sees the SUM of per-occurrence row gradients
+before squaring, so duplicates must be combined first — the classic way is
+sort + segment-sum, but a 60K-id argsort costs ~1 ms on a v5e and dominated
+the r2 apply):
 
-  1. sort the (possibly duplicated) batch ids — dense Adagrad sees the SUM
-     of per-occurrence row gradients before squaring, so duplicates must be
-     combined first;
-  2. segment-sum duplicate occurrences' gradients (scatter-add by segment
-     rank, O(N*d));
-  3. gather the touched accumulator rows, apply
-         acc_row += gsum^2
-         param_row -= lr * gsum * where(acc_row > 0, rsqrt(acc_row + eps), 0)
-     (exactly ``optax.adagrad``'s ``scale_by_rss`` + ``scale(-lr)``), and
-     scatter the new rows back in place (donated buffers -> in-place on TPU).
+  1. scatter-add every occurrence's gradient into a zeroed (E, d) scratch
+     table (one memset + O(N*d) scatter traffic);
+  2. gather the scratch back at the ORIGINAL (duplicated) ids — every
+     occurrence of a row id reads the same per-row total ``gsum``;
+  3. compute per-occurrence
+         new_acc_row = acc_row + gsum^2
+         new_param_row = param_row - lr * gsum *
+                         where(new_acc_row > 0, rsqrt(new_acc_row + eps), 0)
+     (exactly ``optax.adagrad``'s ``scale_by_rss`` + ``scale(-lr)``) and
+     scatter them back with ``set`` — duplicate ids write IDENTICAL values,
+     so the racy-looking scatter is deterministic (donated buffers ->
+     in-place on TPU).
 
-Slots holding no unique id carry an out-of-range sentinel row index; XLA
-scatter drops out-of-bounds updates, so no masking pass is needed.
+Out-of-shard ids (tp row-sharding) and sentinels map to an out-of-range row
+index; XLA's ``mode="drop"`` scatter discards them.
 
-Total cost: one O(N log N) sort + O(N*d) gathers/scatters, independent of
-table size — the property VERDICT r1 #3 demands (step time flat in E).
+Total cost: one (E, d) memset + O(N*d) gathers/scatters — no sort, no
+full-table read-modify-write passes (the dense-optax path traverses the
+whole table ~5x per step; this touches it once, write-only).
 """
 from __future__ import annotations
 
@@ -44,27 +51,12 @@ def init_acc(param, a0: float = ADAGRAD_ACC0):
     return jax.tree_util.tree_map(lambda p: jnp.full_like(p, a0), param)
 
 
-def segment_sum_rows(ids: jnp.ndarray, g_rows: jnp.ndarray, num_rows: int):
-    """Combine duplicate ids: returns ``(rep, gsum)`` both of length N where
-    slot k < #unique holds (the k-th unique id, the sum of its occurrences'
-    gradient rows) and the remaining slots hold ``rep = num_rows`` (an
-    out-of-range sentinel whose scatter is dropped)."""
-    order = jnp.argsort(ids)
-    sid = jnp.take(ids, order)
-    sg = jnp.take(g_rows, order, axis=0)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1       # (N,) in [0, U)
-    gsum = jnp.zeros_like(g_rows).at[seg].add(sg)
-    rep = jnp.full(ids.shape, num_rows, ids.dtype).at[seg].set(sid)
-    return rep, gsum
-
-
 def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
               g_rows: jnp.ndarray, lr: float, eps: float = ADAGRAD_EPS,
               row_offset: int | jnp.ndarray = 0,
               total_rows: int | None = None):
-    """One Adagrad step on ``param`` touching only ``ids``' rows.
+    """One Adagrad step on ``param`` touching only ``ids``' rows (sort-free,
+    see module docstring for the scatter-dedup scheme).
 
     ``g_rows`` (N, d): per-OCCURRENCE gradients of the gathered rows (as
     produced by differentiating w.r.t. ``param[ids]``). Returns the updated
@@ -76,16 +68,20 @@ def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     mapped to an out-of-bounds slot and their scatters dropped — every shard
     applies the identical (deduplicated) update to the rows it owns."""
     E = param.shape[0]
-    rep, gsum = segment_sum_rows(ids, g_rows, total_rows or E)
-    loc = rep - row_offset
+    loc = ids - row_offset
     valid = (loc >= 0) & (loc < E)
     loc = jnp.where(valid, loc, E)          # E = dropped by scatter mode
     safe = jnp.clip(loc, 0, E - 1)          # gather clamps anyway; explicit
+    # per-row totals without a sort: one scatter-add into a zeroed scratch,
+    # one gather back — duplicate occurrences read the same total
+    gsum = jnp.zeros_like(param).at[loc].add(g_rows, mode="drop")[safe]
+    gsum = jnp.where(valid[:, None], gsum, 0.0)
     new_acc_rows = acc[safe] + jnp.square(gsum)
     upd = jnp.where(new_acc_rows > 0,
                     jax.lax.rsqrt(new_acc_rows + eps), 0.0) * gsum
+    # duplicate ids write identical rows, so 'set' scatters are deterministic
     acc = acc.at[loc].set(new_acc_rows, mode="drop")
-    param = param.at[loc].add(-lr * upd, mode="drop")
+    param = param.at[loc].set(param[safe] - lr * upd, mode="drop")
     return param, acc
 
 

@@ -298,18 +298,28 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                                     lean_relation_logistic_loss)
     from multike_tpu.sampling import (sample_corruptions,
                                       sample_shared_corruptions,
+                                      sample_shared_neighbor_corruptions,
                                       triple_filter_contains)
 
     steps = int(np.ceil((n1 + n2) / cfg.batch_size))
     bs1, bs2 = proportional_sizes(n1, n2, cfg.batch_size)
     (lo1, hi1), (lo2, hi2) = ranges
     neg_num = cfg.neg_triple_num
-    use_chunks = (cfg.neg_scheme == "chunk_shared") and not with_neighbors
+    # chunk-shared pools in the truncated phase draw from neighbor rows
+    # (sampling.sample_shared_neighbor_corruptions; Config.truncated_neg_scheme)
+    if cfg.truncated_neg_scheme not in ("per_slot", "chunk_shared"):
+        raise ValueError(f"truncated_neg_scheme must be 'per_slot' or "
+                         f"'chunk_shared', got {cfg.truncated_neg_scheme!r}")
+    trunc_chunks = with_neighbors and cfg.truncated_neg_scheme == "chunk_shared"
+    use_chunks = trunc_chunks or \
+        ((cfg.neg_scheme == "chunk_shared") and not with_neighbors)
     pool = cfg.neg_pool_size or neg_num      # candidates per shared pool (C)
     neg_w = neg_num / (2.0 * pool)           # K/(2C), see docstring
     if use_chunks:
-        nc1, s1 = _chunk_layout(bs1, cfg.neg_chunk_size)
-        nc2, s2 = _chunk_layout(bs2, cfg.neg_chunk_size)
+        chunk_size = cfg.truncated_chunk_size if trunc_chunks \
+            else cfg.neg_chunk_size
+        nc1, s1 = _chunk_layout(bs1, chunk_size)
+        nc2, s2 = _chunk_layout(bs2, chunk_size)
         bsp1, bsp2 = nc1 * s1, nc2 * s2
         sizes = [bsp1, bsp1, nc1 * pool, nc1 * pool,
                  bsp2, bsp2, nc2 * pool, nc2 * pool]
@@ -351,8 +361,14 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     # dense zeros+scatter per gather — measured ~2.5x slower per step.)
     def prep(t1b, m1, k1, t2b, m2, k2, nbr):
         if use_chunks:
-            ch1, ct1 = sample_shared_corruptions(k1, nc1, pool, lo1, hi1)
-            ch2, ct2 = sample_shared_corruptions(k2, nc2, pool, lo2, hi2)
+            if trunc_chunks:
+                ch1, ct1 = sample_shared_neighbor_corruptions(
+                    k1, t1b, nc1, s1, pool, lo1, hi1, nbr)
+                ch2, ct2 = sample_shared_neighbor_corruptions(
+                    k2, t2b, nc2, s2, pool, lo2, hi2, nbr)
+            else:
+                ch1, ct1 = sample_shared_corruptions(k1, nc1, pool, lo1, hi1)
+                ch2, ct2 = sample_shared_corruptions(k2, nc2, pool, lo2, hi2)
             parts = [t1b[:, 0], t1b[:, 2], ch1.ravel(), ct1.ravel(),
                      t2b[:, 0], t2b[:, 2], ch2.ravel(), ct2.ravel()]
             aux = (chunk_keep_masks(t1b, ch1, ct1, nc1, s1),

@@ -144,3 +144,69 @@ def test_rel_view_epoch_both_schemes_reduce_loss(scheme):
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
     assert trained == 350
+
+
+def test_sample_shared_neighbor_corruptions_sources():
+    """Every pool candidate must come from SOME chunk member's neighbor row
+    (cnt > 0 donors) or fall in [lo, hi) (uniform fallback)."""
+    from multike_tpu.sampling import (build_neighbor_state,
+                                      sample_shared_neighbor_corruptions)
+
+    rng = np.random.RandomState(1)
+    lo, hi = 20, 80
+    # entities 20..49 have neighbor rows drawn from 60..79; 50..79 have none
+    useful = np.arange(20, 50, dtype=np.int64)
+    nbrs = rng.randint(60, 80, size=(30, 5)).astype(np.int32)
+    state = build_neighbor_state(100, [(useful, nbrs)])
+    nc, s, C = 3, 8, 16
+    pos = np.stack([rng.randint(20, 80, nc * s), rng.randint(0, 4, nc * s),
+                    rng.randint(20, 80, nc * s)], 1).astype(np.int32)
+    ch, ct = sample_shared_neighbor_corruptions(
+        jax.random.PRNGKey(3), jnp.asarray(pos), nc, s, C, lo, hi, state)
+    h = pos[:, 0].reshape(nc, s)
+    t = pos[:, 2].reshape(nc, s)
+    nbr_of = {int(e): set(map(int, row)) for e, row in zip(useful, nbrs)}
+    for pool_arr, ents in ((np.asarray(ch), h), (np.asarray(ct), t)):
+        assert pool_arr.shape == (nc, C)
+        assert pool_arr.min() >= lo and pool_arr.max() < hi
+        for c in range(nc):
+            allowed = set(range(lo, hi))  # uniform fallback always possible
+            from_nbr = set()
+            for e in ents[c]:
+                from_nbr |= nbr_of.get(int(e), set())
+            # at least SOME candidates should come from neighbor rows
+            # (most chunk members have rows; P(all-uniform) is negligible)
+            assert len(set(map(int, pool_arr[c])) & from_nbr) > 0
+
+
+def test_rel_view_truncated_chunk_scheme_runs_and_learns():
+    from multike_tpu.params import init_params
+    from multike_tpu.sampling import build_neighbor_state
+    from multike_tpu.train import streams
+
+    cfg = Config(dim=8, batch_size=64, neg_triple_num=4, learning_rate=0.05,
+                 truncated_neg_scheme="chunk_shared", truncated_chunk_size=16,
+                 neg_pool_size=12)
+    E, R = 60, 6
+    rng = np.random.RandomState(0)
+    t1 = np.stack([rng.randint(0, 30, 200), rng.randint(0, R, 200),
+                   rng.randint(0, 30, 200)], 1).astype(np.int32)
+    t2 = np.stack([rng.randint(30, 60, 150), rng.randint(0, R, 150),
+                   rng.randint(30, 60, 150)], 1).astype(np.int32)
+    parts = [(np.arange(0, 30, dtype=np.int64),
+              rng.randint(0, 30, size=(30, 4)).astype(np.int32)),
+             (np.arange(30, 60, dtype=np.int64),
+              rng.randint(30, 60, size=(30, 4)).astype(np.int32))]
+    nbr = build_neighbor_state(E, parts)
+    params = init_params(cfg, E, R, 2)
+    opt = streams.init_stream_opt_states(cfg, params)["rel_view"]
+    epoch, steps, trained = streams.build_rel_view_epoch(
+        cfg, len(t1), len(t2), ((0, 30), (30, 60)), with_neighbors=True)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(6):
+        params, opt, key, loss = epoch(params, opt, key,
+                                       jnp.asarray(t1), jnp.asarray(t2), nbr)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
