@@ -67,6 +67,33 @@ def main():
                                   indices_are_sorted=True, unique_indices=True)
         return param, acc
 
+    def sorted2_apply(param, acc, ids, g_rows):
+        """2-scatter variant: per-occurrence segment totals via cumsum +
+        boundary gathers (no dedup scatters); every occurrence writes its
+        row with 'set' (duplicates identical -> deterministic)."""
+        N = ids.shape[0]
+        order = jnp.argsort(ids)
+        sid = jnp.take(ids, order)
+        sg = jnp.take(g_rows, order, axis=0)
+        pos = jnp.arange(N, dtype=jnp.int32)
+        is_start = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+        is_end = jnp.concatenate([sid[1:] != sid[:-1], jnp.ones((1,), bool)])
+        start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+        end_pos = jnp.flip(jax.lax.cummin(
+            jnp.flip(jnp.where(is_end, pos, N - 1))))
+        cum = jnp.cumsum(sg, axis=0)
+        below = jnp.where((start_pos - 1)[:, None] >= 0,
+                          cum[jnp.maximum(start_pos - 1, 0)], 0.0)
+        tot = cum[end_pos] - below                     # per-occurrence gsum
+        new_acc = acc.at[sid].get(indices_are_sorted=True) + jnp.square(tot)
+        upd = jnp.where(new_acc > 0, jax.lax.rsqrt(new_acc + eps), 0.) * tot
+        new_param = acc_p = param.at[sid].get(indices_are_sorted=True) \
+            - lr * upd
+        del acc_p
+        acc = acc.at[sid].set(new_acc, indices_are_sorted=True)
+        param = param.at[sid].set(new_param, indices_are_sorted=True)
+        return param, acc
+
     def scatter_apply(param, acc, ids, g_rows):
         from multike_tpu.train.sparse_adagrad import row_apply
 
@@ -79,8 +106,8 @@ def main():
             new_acc > 0, jax.lax.rsqrt(new_acc + eps), 0.) * g
         return param, new_acc
 
-    variants = {"sorted": sorted_apply, "scatter": scatter_apply,
-                "dense": dense_apply}
+    variants = {"sorted": sorted_apply, "sorted2": sorted2_apply,
+                "scatter": scatter_apply, "dense": dense_apply}
     rng = np.random.RandomState(0)
     param0 = jnp.asarray(rng.randn(E, d) * 0.1, jnp.float32)
     acc0 = jnp.full((E, d), 0.1, jnp.float32)

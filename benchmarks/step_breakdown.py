@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--n-ent", type=int, default=50_000, help="entities per KG")
     ap.add_argument("--truncated", action="store_true",
                     help="per_slot + neighbor tables (post-refresh phase)")
+    ap.add_argument("--truncated-chunks", action="store_true",
+                    help="truncated phase with neighbor-restricted shared "
+                         "pools (truncated_neg_scheme='chunk_shared')")
     ap.add_argument("--presampled", action="store_true",
                     help="hoist sampling out of the scan (the shipped "
                          "presampled path): the 'sample' phase then measures "
@@ -82,9 +85,13 @@ def main():
     K, C = cfg.neg_triple_num, cfg.neg_pool_size
     dim = cfg.dim
     neg_w = K / (2.0 * C)
-    use_chunks = not ns.truncated
-    nc1, s1 = _chunk_layout(bs1, cfg.neg_chunk_size)
-    nc2, s2 = _chunk_layout(bs2, cfg.neg_chunk_size)
+    trunc_chunks = ns.truncated_chunks
+    if trunc_chunks:
+        ns.truncated = True
+    use_chunks = not ns.truncated or trunc_chunks
+    chunk_size = cfg.truncated_chunk_size if trunc_chunks else cfg.neg_chunk_size
+    nc1, s1 = _chunk_layout(bs1, chunk_size)
+    nc2, s2 = _chunk_layout(bs2, chunk_size)
     bsp1, bsp2 = (nc1 * s1, nc2 * s2) if use_chunks else (bs1, bs2)
 
     tfilter = build_triple_filter(tri)
@@ -117,8 +124,17 @@ def main():
         i2 = jax.random.randint(ki2, (bsp2,), 0, n_tri)
         t1b, t2b = t1[i1], t2[i2]
         if use_chunks:
-            ch1, ct1 = sample_shared_corruptions(k1, nc1, C, lo1, hi1)
-            ch2, ct2 = sample_shared_corruptions(k2, nc2, C, lo2, hi2)
+            if trunc_chunks:
+                from multike_tpu.sampling import \
+                    sample_shared_neighbor_corruptions
+
+                ch1, ct1 = sample_shared_neighbor_corruptions(
+                    k1, t1b, nc1, s1, C, lo1, hi1, nbr)
+                ch2, ct2 = sample_shared_neighbor_corruptions(
+                    k2, t2b, nc2, s2, C, lo2, hi2, nbr)
+            else:
+                ch1, ct1 = sample_shared_corruptions(k1, nc1, C, lo1, hi1)
+                ch2, ct2 = sample_shared_corruptions(k2, nc2, C, lo2, hi2)
             parts = [t1b[:, 0], t1b[:, 2], ch1.ravel(), ct1.ravel(),
                      t2b[:, 0], t2b[:, 2], ch2.ravel(), ct2.ravel()]
             aux = None
@@ -258,7 +274,8 @@ def main():
         log(f"{phase:>9}: {ms:8.3f} ms/step  (+{ms - prev:7.3f})")
         prev = ms
 
-    mode = "truncated_per_slot" if ns.truncated else "uniform_chunk_shared"
+    mode = ("truncated_chunk_shared" if trunc_chunks else
+            "truncated_per_slot" if ns.truncated else "uniform_chunk_shared")
     print(json.dumps({"metric": f"rel_view_step_breakdown_{mode}",
                       "unit": "ms/step", "phases_cumulative": results,
                       "batch_size": cfg.batch_size, "entities": E,

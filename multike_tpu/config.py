@@ -111,9 +111,13 @@ class Config:
     #     serialize per row (~33 ns/row measured on v5e,
     #     benchmarks/apply_bench.py), so per_slot's 50K+ scattered rows per
     #     step are the truncated-phase wall. Hard negatives become
-    #     chunk-mixture instead of per-entity; quality A/B in
-    #     docs/EXPERIMENTS.md (benchmarks/neg_scheme_quality.py).
-    truncated_neg_scheme: str = "per_slot"
+    #     chunk-mixture instead of per-entity; quality A/B (20-epoch full
+    #     ITC, truncated from epoch 8): chunk s=256 rv/final test MRR
+    #     0.9389/0.6629 vs per_slot 0.9511/0.6695 — the same delta class as
+    #     the uniform-phase chunk scheme, for the structural scatter win
+    #     (docs/EXPERIMENTS.md; benchmarks/neg_scheme_quality.py). Default;
+    #     set "per_slot" for reference-exact truncated sampling.
+    truncated_neg_scheme: str = "chunk_shared"
     # Chunk size of the truncated chunk_shared scheme. Smaller chunks mix
     # fewer entities' neighbor rows per pool (harder negatives, more scatter
     # rows); see the quality/throughput A/B in docs/EXPERIMENTS.md.

@@ -11,31 +11,30 @@ read/modify/write, and the parameter update each traverse the full table.
 At E=100K/d=75 that's ~150 MB of traffic per step; at 1M+ entities it
 dominates the step outright.
 
-This module applies the *identical* update touching only the batch rows,
-with NO sort (dense Adagrad sees the SUM of per-occurrence row gradients
-before squaring, so duplicates must be combined first — the classic way is
-sort + segment-sum, but a 60K-id argsort costs ~1 ms on a v5e and dominated
-the r2 apply):
+This module applies the *identical* update touching only the batch rows
+(dense Adagrad sees the SUM of per-occurrence row gradients before squaring,
+so duplicates must be combined first):
 
-  1. scatter-add every occurrence's gradient into a zeroed (E, d) scratch
-     table (one memset + O(N*d) scatter traffic);
-  2. gather the scratch back at the ORIGINAL (duplicated) ids — every
-     occurrence of a row id reads the same per-row total ``gsum``;
-  3. compute per-occurrence
-         new_acc_row = acc_row + gsum^2
-         new_param_row = param_row - lr * gsum *
-                         where(new_acc_row > 0, rsqrt(new_acc_row + eps), 0)
-     (exactly ``optax.adagrad``'s ``scale_by_rss`` + ``scale(-lr)``) and
-     scatter them back with ``set`` — duplicate ids write IDENTICAL values,
-     so the racy-looking scatter is deterministic (donated buffers ->
-     in-place on TPU).
+  1. sort the (possibly duplicated) batch ids and segment-sum duplicate
+     occurrences' gradients;
+  2. gather the touched accumulator rows, apply
+         acc_row += gsum^2
+         param_row -= lr * gsum * where(acc_row > 0, rsqrt(acc_row + eps), 0)
+     (exactly ``optax.adagrad``'s ``scale_by_rss`` + ``scale(-lr)``), and
+     scatter the new rows back in place (donated buffers -> in-place on TPU).
 
-Out-of-shard ids (tp row-sharding) and sentinels map to an out-of-range row
-index; XLA's ``mode="drop"`` scatter discards them.
+Slots holding no unique id carry an out-of-range sentinel row index; XLA
+scatter drops out-of-bounds updates, so no masking pass is needed.
 
-Total cost: one (E, d) memset + O(N*d) gathers/scatters — no sort, no
-full-table read-modify-write passes (the dense-optax path traverses the
-whole table ~5x per step; this touches it once, write-only).
+PERFORMANCE (measured v5e, benchmarks/apply_bench.py): XLA:TPU *scatters*
+serialize per updated row (~30 ns/row, flat in row width d) while gathers
+are parallel — so apply cost is set by how many rows are scattered. Every
+scatter/gather here is flagged ``indices_are_sorted`` (+ ``unique_indices``
+where true): the flagged sorted form measures 1.30 ms at 20K ids / 2.42 ms
+at 60K ids over a (200K, 75) table vs 2.1 ms for a full dense-optax table
+update and 3.7-4.7 ms for a sort-free scatter-dedup variant (nonmonotonic,
+pathological — r3 tried and reverted it). The structural lever above this
+function is scattering FEWER rows: Config.truncated_neg_scheme.
 """
 from __future__ import annotations
 
@@ -68,20 +67,28 @@ def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     mapped to an out-of-bounds slot and their scatters dropped — every shard
     applies the identical (deduplicated) update to the rows it owns."""
     E = param.shape[0]
-    loc = ids - row_offset
+    total = total_rows or E
+    order = jnp.argsort(ids)
+    sid = jnp.take(ids, order)
+    sg = jnp.take(g_rows, order, axis=0)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1       # (N,) in [0, U)
+    gsum = jnp.zeros_like(g_rows).at[seg].add(sg, indices_are_sorted=True)
+    # sentinel base total+arange keeps rep sorted AND globally unique (the
+    # unique_indices promise below must hold for the dropped slots too)
+    rep = (total + jnp.arange(ids.shape[0], dtype=ids.dtype)).at[seg].set(
+        sid, indices_are_sorted=True)
+    loc = rep - row_offset
     valid = (loc >= 0) & (loc < E)
     loc = jnp.where(valid, loc, E)          # E = dropped by scatter mode
     safe = jnp.clip(loc, 0, E - 1)          # gather clamps anyway; explicit
-    # per-row totals without a sort: one scatter-add into a zeroed scratch,
-    # one gather back — duplicate occurrences read the same total
-    gsum = jnp.zeros_like(param).at[loc].add(g_rows, mode="drop")[safe]
-    gsum = jnp.where(valid[:, None], gsum, 0.0)
-    new_acc_rows = acc[safe] + jnp.square(gsum)
+    new_acc_rows = acc.at[safe].get(indices_are_sorted=True) + jnp.square(gsum)
     upd = jnp.where(new_acc_rows > 0,
                     jax.lax.rsqrt(new_acc_rows + eps), 0.0) * gsum
-    # duplicate ids write identical rows, so 'set' scatters are deterministic
-    acc = acc.at[loc].set(new_acc_rows, mode="drop")
-    param = param.at[loc].set(param[safe] - lr * upd, mode="drop")
+    acc = acc.at[loc].set(new_acc_rows, mode="drop",
+                          indices_are_sorted=True, unique_indices=True)
+    param = param.at[loc].add(-lr * upd, mode="drop",
+                              indices_are_sorted=True, unique_indices=True)
     return param, acc
 
 

@@ -66,9 +66,15 @@ STREAM_VARS: Dict[str, Tuple[str, ...]] = {
     s: rows + dense for s, (rows, dense) in STREAM_SPEC.items()}
 
 
-def use_row_sparse(cfg: Config, table_rows: int) -> bool:
-    """Row-sparse vs dense-optax update path, per entity-table size (see
-    Config.row_sparse_updates for the measured crossover)."""
+def use_row_sparse(cfg: Config, table_rows: int,
+                   ids_count: int | None = None) -> bool:
+    """Row-sparse vs dense-optax update path. "auto" picks by the measured
+    v5e cost model (benchmarks/apply_bench.py): the row-sparse apply scales
+    with the SCATTERED-ROW count (~1.3 ms at 20K ids, 2.4 ms at 60K over a
+    200K-row table) while dense optax is ~flat per table size (~1.0 ms at
+    100K rows, 2.1 ms at 200K, 6.4 ms at 1M) — so row-sparse wins when the
+    step touches a small fraction of the table (4*ids <= rows matches every
+    measured point) or the table is huge."""
     if cfg.optimizer != "Adagrad":
         return False
     mode = cfg.row_sparse_updates
@@ -76,6 +82,8 @@ def use_row_sparse(cfg: Config, table_rows: int) -> bool:
         return True
     if mode in (False, "off", "false"):
         return False
+    if ids_count is not None and 4 * ids_count <= table_rows:
+        return True
     return table_rows >= cfg.row_sparse_min_rows
 
 
@@ -96,14 +104,15 @@ def stream_optimizer(cfg: Config, stream: str) -> optax.GradientTransformation:
 
 
 def init_stream_opt_states(cfg: Config, params, pctx=None) -> Dict:
-    """Per-stream optimizer states. Mesh mode (``pctx``) always uses the
-    row-sparse Adagrad state (plain accumulator dicts) — the mesh update path
-    requires it (see _make_stream_update)."""
+    """Per-stream optimizer states. Adagrad (the reference optimizer) always
+    uses plain accumulator dicts — identical math to ``optax.adagrad`` and
+    format-compatible with BOTH the row-sparse and the dense apply, so the
+    update path is free to pick per batch-size/table-size at trace time
+    (``use_row_sparse``). Other optimizers get optax states (dense only)."""
     states = {}
     for stream, names in STREAM_VARS.items():
         sub = {k: params[k] for k in names}
-        rows = params[STREAM_SPEC[stream][0][0]].shape[0]
-        if pctx is not None or use_row_sparse(cfg, rows):
+        if pctx is not None or cfg.optimizer == "Adagrad":
             states[stream] = {k: sparse_adagrad.init_acc(v)
                               for k, v in sub.items()}
         else:
@@ -150,9 +159,11 @@ def _make_stream_update(cfg: Config, stream: str, prep, loss_fn, pctx=None):
             "mesh training runs on the row-sparse Adagrad path"
 
     def update(params, opt_state, *batch):
-        sparse = pctx is not None or use_row_sparse(
-            cfg, params[row_tables[0]].shape[0])
         ids, aux = prep(*batch)
+        adagrad = cfg.optimizer == "Adagrad"
+        sparse = pctx is not None or use_row_sparse(
+            cfg, params[row_tables[0]].shape[0],
+            ids_count=ids[row_tables[0]].shape[0])
 
         if sparse:
             from multike_tpu.parallel.context import (gather_rows,
@@ -197,6 +208,16 @@ def _make_stream_update(cfg: Config, stream: str, prep, loss_fn, pctx=None):
             return loss_fn(rows, dense, merged, aux, *batch)
 
         loss, grads = jax.value_and_grad(f)(subset)
+        if adagrad:
+            # dense grads, acc-dict state: identical math to optax.adagrad
+            # (sparse_adagrad.dense_apply), same state format as the sparse
+            # path so the sparse/dense choice is free per epoch builder
+            params = dict(params)
+            opt_state = dict(opt_state)
+            for k in names:
+                params[k], opt_state[k] = sparse_adagrad.dense_apply(
+                    subset[k], opt_state[k], grads[k], lr)
+            return params, opt_state, loss
         updates, new_opt = opt.update(grads, opt_state, subset)
         subset = optax.apply_updates(subset, updates)
         params = dict(params)
@@ -344,14 +365,15 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         return (1.0 - bad_h.astype(jnp.float32),
                 1.0 - bad_t.astype(jnp.float32))
 
-    # Per-slot sampling is PRESAMPLED for the whole epoch in one bulk pass
-    # before the scan (epoch_impl below) whenever rejection doesn't need a
-    # resample loop: the neighbor-table / Bloom gathers for all steps become
+    # Sampling is PRESAMPLED for the whole epoch in one bulk pass before the
+    # scan (epoch_impl below) whenever rejection doesn't need a resample
+    # loop: the RNG + neighbor-table / Bloom gathers for all steps become
     # single large ops instead of `steps` small latency-bound ones on the
     # scan's critical path (measured 1.45M -> see docs/EXPERIMENTS.md).
     # 'resample' mode keeps in-scan sampling: its early-exit while_loop would
-    # degrade to ~`retries` full-epoch redraw passes in bulk form.
-    presample = (not use_chunks) and \
+    # degrade to ~`retries` full-epoch redraw passes in bulk form. Chunk
+    # modes have no resample loop, so they always presample their pools.
+    presample = use_chunks or \
         (tfilter is None or cfg.neg_rejection_tries == 0 or
          cfg.neg_reject_mode == "drop")
 
@@ -392,6 +414,13 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
                  t2b[:, 0], t2b[:, 2], cand2.ravel()]
         return {"rv_ent": jnp.concatenate(parts)}, (hb1, keep1, hb2, keep2)
+
+    def prep_presampled_chunks(t1b, m1, ch1, ct1, t2b, m2, ch2, ct2):
+        parts = [t1b[:, 0], t1b[:, 2], ch1.ravel(), ct1.ravel(),
+                 t2b[:, 0], t2b[:, 2], ch2.ravel(), ct2.ravel()]
+        aux = (chunk_keep_masks(t1b, ch1, ct1, nc1, s1),
+               chunk_keep_masks(t2b, ch2, ct2, nc2, s2))
+        return {"rv_ent": jnp.concatenate(parts)}, aux
 
     def _loss_body(rows, dense, aux, t1b, m1, t2b, m2):
         dim = rows["rv_ent"].shape[-1]
@@ -440,7 +469,14 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
                            keep1, t2b, m2, cand2, hb2, keep2):
         return _loss_body(rows, dense, aux, t1b, m1, t2b, m2)
 
-    if presample:
+    def loss_fn_presampled_chunks(rows, dense, stopped, aux, t1b, m1, ch1,
+                                  ct1, t2b, m2, ch2, ct2):
+        return _loss_body(rows, dense, aux, t1b, m1, t2b, m2)
+
+    if presample and use_chunks:
+        update = _make_stream_update(cfg, "rel_view", prep_presampled_chunks,
+                                     loss_fn_presampled_chunks, pctx)
+    elif presample:
         update = _make_stream_update(cfg, "rel_view", prep_presampled,
                                      loss_fn_presampled, pctx)
     else:
@@ -452,6 +488,42 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
         idx2, m2 = _padded_epoch_indices(ki2, n2, bs2, bsp2, steps)
         step_keys = jax.random.split(key, steps + 1)
         key, step_keys = step_keys[0], step_keys[1:]
+
+        if presample and use_chunks:
+            # Bulk-draw every step's shared pools up front (tiny arrays:
+            # (steps, nc, C) per side; the neighbor-pool variant batches all
+            # steps' donor/neighbor gathers into one op).
+            kp1, kp2 = jax.random.split(step_keys[0])
+            pos1 = triples1[idx1]                       # (steps, bsp1, 3)
+            pos2 = triples2[idx2]
+            if trunc_chunks:
+                ch1, ct1 = jax.vmap(
+                    lambda k, p: sample_shared_neighbor_corruptions(
+                        k, p, nc1, s1, pool, lo1, hi1, nbr)
+                )(jax.random.split(kp1, steps), pos1)
+                ch2, ct2 = jax.vmap(
+                    lambda k, p: sample_shared_neighbor_corruptions(
+                        k, p, nc2, s2, pool, lo2, hi2, nbr)
+                )(jax.random.split(kp2, steps), pos2)
+            else:
+                ch1, ct1 = sample_shared_corruptions(
+                    kp1, steps * nc1, pool, lo1, hi1)
+                ch2, ct2 = sample_shared_corruptions(
+                    kp2, steps * nc2, pool, lo2, hi2)
+                ch1 = ch1.reshape(steps, nc1, pool)
+                ct1 = ct1.reshape(steps, nc1, pool)
+                ch2 = ch2.reshape(steps, nc2, pool)
+                ct2 = ct2.reshape(steps, nc2, pool)
+            xs = (pos1, m1, ch1, ct1, pos2, m2, ch2, ct2)
+
+            def body(carry, xs):
+                params, opt_state = carry
+                params, opt_state, loss = update(params, opt_state, *xs)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), xs)
+            return params, opt_state, key, jnp.sum(losses)
 
         if presample:
             # Bulk-sample the whole epoch's corruptions up front (one

@@ -448,6 +448,23 @@ class MultiKETrainer:
             return np.asarray(self.params["attr"])
         raise KeyError(which)
 
+    def current_embeds_device(self, which: str) -> jnp.ndarray:
+        """Device-resident analog of :meth:`current_embeds` — normalized
+        reads with NO host copy, so eval cadence costs engine time only
+        (the host-numpy path re-uploads full tables per eval; VERDICT r2
+        weak 7). Used by eval/views when no mesh is configured (mesh eval
+        goes through the ring ranker on host slices instead)."""
+        E = self.kgs.entities_num  # strips tp row padding, if any
+        if which == "nv":
+            return self.constants["name_embeds"][:E]
+        if which == "rv":
+            return l2_normalize(self.params["rv_ent"][:E], axis=1)
+        if which == "av":
+            return l2_normalize(self.params["av_ent"][:E], axis=1)
+        if which == "final":
+            return l2_normalize(self.params["ent"][:E], axis=1)
+        raise KeyError(which)
+
     # ------------------------------------------------------------------
     # checkpoint / resume (beyond the reference's final-save-only)
     # ------------------------------------------------------------------
