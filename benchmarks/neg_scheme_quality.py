@@ -19,7 +19,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def run(scheme: str, folder: str, epochs: int, pool: int = 0,
         reject_mode: str = "drop", truncated_scheme: str = "per_slot",
-        truncated_chunk: int = 256):
+        truncated_chunk: int = 256, truncated_pool: int = 0):
     from multike_tpu.align.predicates import PredicateAlignModel
     from multike_tpu.config import Config
     from multike_tpu.data.dataset import DataModel
@@ -34,6 +34,7 @@ def run(scheme: str, folder: str, epochs: int, pool: int = 0,
                  neg_reject_mode=reject_mode,
                  truncated_neg_scheme=truncated_scheme,
                  truncated_chunk_size=truncated_chunk,
+                 truncated_pool_size=truncated_pool,
                  start_predicate_soft_alignment=5, is_save=False,
                  word2vec_path=folder + "mini_word2vec.vec")
     data = DataModel(cfg)
@@ -63,23 +64,27 @@ def main():
     # (scheme, pool, reject, truncated_scheme, truncated_chunk). Final pair
     # of entries: the truncated-phase chunk_shared A/B (neighbor-restricted
     # shared pools vs per-entity per_slot draws; Config.truncated_neg_scheme).
-    configs = (("chunk_shared", 0, "drop", "per_slot", 256),
-               ("chunk_shared", 256, "drop", "per_slot", 256),
-               ("per_slot", 0, "drop", "per_slot", 256),
-               ("per_slot", 0, "resample", "per_slot", 256),
-               ("chunk_shared", 256, "drop", "chunk_shared", 256),
-               ("chunk_shared", 256, "drop", "chunk_shared", 1024))
+    configs = (("chunk_shared", 0, "drop", "per_slot", 256, 0),
+               ("chunk_shared", 256, "drop", "per_slot", 256, 0),
+               ("per_slot", 0, "drop", "per_slot", 256, 0),
+               ("per_slot", 0, "resample", "per_slot", 256, 0),
+               ("chunk_shared", 256, "drop", "chunk_shared", 256, 0),
+               ("chunk_shared", 256, "drop", "chunk_shared", 1024, 0),
+               ("chunk_shared", 256, "drop", "chunk_shared", 256, 128),
+               ("chunk_shared", 256, "drop", "chunk_shared", 512, 0))
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    for scheme, pool, reject, tsch, tchunk in configs:
-        tag = f"{scheme}:{pool}:{reject}:{tsch}:{tchunk}"
+    for scheme, pool, reject, tsch, tchunk, tpool in configs:
+        tag = f"{scheme}:{pool}:{reject}:{tsch}:{tchunk}:{tpool}"
         if only and tag not in only:
             continue
         out = run(scheme, folder, epochs, pool=pool, reject_mode=reject,
-                  truncated_scheme=tsch, truncated_chunk=tchunk)
+                  truncated_scheme=tsch, truncated_chunk=tchunk,
+                  truncated_pool=tpool)
         out["neg_pool_size"] = pool
         out["neg_reject_mode"] = reject
         out["truncated_neg_scheme"] = tsch
         out["truncated_chunk_size"] = tchunk
+        out["truncated_pool_size"] = tpool
         print(json.dumps(out), flush=True)
 
 

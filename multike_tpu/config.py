@@ -122,6 +122,13 @@ class Config:
     # fewer entities' neighbor rows per pool (harder negatives, more scatter
     # rows); see the quality/throughput A/B in docs/EXPERIMENTS.md.
     truncated_chunk_size: int = 256
+    # Pool size C of the truncated chunk_shared scheme; 0 = neg_pool_size.
+    # Scatter rows per step scale with chunks*C, so this is a direct
+    # throughput lever. A/B at s=256 (20-epoch ITC): C=128 rv/final MRR
+    # 0.9388/0.6597 == C=256's 0.9389/0.6629 within noise — the truncated
+    # pools draw from neighbor rows (already hard), so they need less width
+    # than the uniform phase's C=256 (docs/EXPERIMENTS.md).
+    truncated_pool_size: int = 128
     # Size C of each shared candidate pool per chunk (head pool + tail pool);
     # 0 = neg_triple_num. Every positive scores against all 2C pool members,
     # each weighted neg_triple_num / (2C) — same expectation as the

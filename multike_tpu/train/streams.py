@@ -335,6 +335,8 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     use_chunks = trunc_chunks or \
         ((cfg.neg_scheme == "chunk_shared") and not with_neighbors)
     pool = cfg.neg_pool_size or neg_num      # candidates per shared pool (C)
+    if trunc_chunks and cfg.truncated_pool_size:
+        pool = cfg.truncated_pool_size
     neg_w = neg_num / (2.0 * pool)           # K/(2C), see docstring
     if use_chunks:
         chunk_size = cfg.truncated_chunk_size if trunc_chunks \
