@@ -1,0 +1,38 @@
+"""At-scale quality regression band (VERDICT r2 item 5).
+
+The full 50K-entity/50-epoch pin runs via ``benchmarks/quality_at_scale.py
+--check-band`` (recorded in docs/EXPERIMENTS.md + QUALITY_AT_SCALE.json).
+This test asserts the same band on a compressed-but-still-DWY-shaped run —
+20K entities/KG, full ITC, truncated sampling active for 60% of epochs — so
+the band is CI-enforceable without the multi-hour full run. Gated behind
+MULTIKE_SCALE_TEST=1 (tens of minutes on the 2-vCPU CI host).
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.environ.get("MULTIKE_SCALE_TEST"),
+                    reason="set MULTIKE_SCALE_TEST=1 to run the at-scale band")
+def test_quality_band_at_scale(tmp_path):
+    out = tmp_path / "q.json"
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(_REPO, "benchmarks", "quality_at_scale.py"),
+         "--cpu", "--entities", "20000", "--epochs", "25",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=7200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(out.read_text())
+    views = res["views"]
+    # same floors the full-scale artifact is held to (quality_at_scale.BAND)
+    assert views["rv"]["test_mrr"] >= 0.90, views
+    assert views["final"]["test_mrr"] >= 0.55, views
+    assert views["nv"]["test_mrr"] >= 0.45, views
