@@ -316,9 +316,16 @@ def main():
             },
             "truncated": {
                 "triples_per_s": round(tps_trunc, 1),
-                "neg_scheme": "per_slot",
-                "bloom_rejection": cfg.neg_rejection_tries > 0,
-                "reject_mode": cfg.neg_reject_mode,
+                "neg_scheme": cfg.truncated_neg_scheme,
+                **({"truncated_chunk_size": cfg.truncated_chunk_size,
+                    "truncated_pool_size": cfg.truncated_pool_size or
+                    cfg.neg_pool_size,
+                    # chunk pools are Bloom-masked only with
+                    # chunk_exact_rejection (off by default)
+                    "bloom_rejection": bool(cfg.chunk_exact_rejection)}
+                   if cfg.truncated_neg_scheme == "chunk_shared" else
+                   {"bloom_rejection": cfg.neg_rejection_tries > 0,
+                    "reject_mode": cfg.neg_reject_mode}),
                 "xla_tflops_per_s": round(fps_trunc / 1e12, 3),
             },
         },

@@ -28,10 +28,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Regression band (floors, not targets: a run under these is a quality
-# regression). Set from the recorded 50K-entity/50-epoch round-3 run — see
-# docs/EXPERIMENTS.md "Alignment quality at DWY scale" and
-# QUALITY_AT_SCALE.json for the measured values the floors derive from.
-BAND = {"rv": 0.90, "final": 0.55, "nv": 0.45}
+# regression). Set from the recorded 50K-entity/50-epoch round-3 run
+# (QUALITY_AT_SCALE.json: rv 0.9902, final 0.9278): floors leave room for
+# seed/scheme variance. The frozen nv view is excluded — at 50K entities it
+# measures the synthetic generator's name-collision rate, not training.
+BAND = {"rv": 0.95, "final": 0.85}
 
 
 def log(*a):

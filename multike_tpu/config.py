@@ -200,12 +200,15 @@ class Config:
     # Structured metrics (jsonl); empty = in-memory only
     metrics_log_path: str = ""
     # Row-sparse Adagrad (train/sparse_adagrad.py): apply optimizer updates
-    # only to the rows each step touches — O(batch*d) HBM traffic, flat in
-    # table size, identical math (TF1 sparse-Adagrad semantics). Dense optax
-    # pipelines better at small E where scatters dominate (measured v5e
-    # crossover ~500K rows: dense 1.0ms@100K/6.4ms@1M vs sparse flat
-    # ~2.3ms). "auto" picks per entity-table size; True/"on" or False/"off"
-    # force. Only effective with optimizer == "Adagrad".
+    # only to the rows each step touches — identical math to dense optax
+    # Adagrad (TF1 sparse-semantics). XLA:TPU scatters serialize per row, so
+    # the row-sparse apply scales with the step's SCATTERED-ROW count (1.3ms
+    # @20K ids, 2.4ms @60K over a 200K-row table on v5e) while dense optax
+    # is ~flat per table size (1.0ms@100K rows, 2.1ms@200K, 6.4ms@1M) —
+    # benchmarks/apply_bench.py. "auto" picks row-sparse when the step
+    # touches <= 1/4 of the table (streams.use_row_sparse; matches every
+    # measured point) or the table exceeds row_sparse_min_rows; True/"on" or
+    # False/"off" force. Only effective with optimizer == "Adagrad".
     row_sparse_updates: str | bool = "auto"
     row_sparse_min_rows: int = 400_000
     # RNG
