@@ -67,6 +67,32 @@ def main():
                                   indices_are_sorted=True, unique_indices=True)
         return param, acc
 
+    def make_presorted(ids):
+        """The ids-only part of sorted_apply — computable OUTSIDE the scan
+        when candidates are presampled for the whole epoch."""
+        import jax.numpy as jnp
+
+        order = jnp.argsort(ids)
+        sid = jnp.take(ids, order)
+        is_start = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+        seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        rep = (E + jnp.arange(ids.shape[0], dtype=ids.dtype)).at[seg].set(
+            sid, indices_are_sorted=True)
+        return order, seg, rep
+
+    def presorted_apply(param, acc, ids, g_rows, presorted):
+        order, seg, rep = presorted
+        sg = jnp.take(g_rows, order, axis=0)
+        gsum = jnp.zeros_like(g_rows).at[seg].add(sg, indices_are_sorted=True)
+        safe = jnp.clip(rep, 0, E - 1)
+        new_acc = acc.at[safe].get(indices_are_sorted=True) + jnp.square(gsum)
+        upd = jnp.where(new_acc > 0, jax.lax.rsqrt(new_acc + eps), 0.) * gsum
+        acc = acc.at[rep].set(new_acc, mode="drop", indices_are_sorted=True,
+                              unique_indices=True)
+        param = param.at[rep].add(-lr * upd, mode="drop",
+                                  indices_are_sorted=True, unique_indices=True)
+        return param, acc
+
     def sorted2_apply(param, acc, ids, g_rows):
         """2-scatter variant: per-occurrence segment totals via cumsum +
         boundary gathers (no dedup scatters); every occurrence writes its
@@ -107,12 +133,16 @@ def main():
         return param, new_acc
 
     variants = {"sorted": sorted_apply, "sorted2": sorted2_apply,
+                "presorted": None,  # filled below (extra presort arg)
                 "scatter": scatter_apply, "dense": dense_apply}
     rng = np.random.RandomState(0)
     param0 = jnp.asarray(rng.randn(E, d) * 0.1, jnp.float32)
     acc0 = jnp.full((E, d), 0.1, jnp.float32)
     ids0 = jnp.asarray(rng.randint(0, E, N), jnp.int32)
     g0 = jnp.asarray(rng.randn(N, d) * 0.01, jnp.float32)
+
+    variants["presorted"] = lambda p, a, i, g: presorted_apply(
+        p, a, i, g, make_presorted(i))
 
     # correctness cross-check first (tiny)
     small_ids = jnp.asarray([3, 1, 3, 7, 1], jnp.int32)
@@ -128,14 +158,28 @@ def main():
     S = ns.steps
     results = {}
     for name, f in variants.items():
-        @jax.jit
-        def run(param, acc, ids, g, _f=f):
-            def body(carry, _):
-                p, a = carry
-                return _f(p, a, ids, g), None
+        if name == "presorted":
+            # sort data precomputed OUTSIDE the timed scan (the epoch
+            # builder can do this at presample time for every step at once)
+            pres = jax.jit(make_presorted)(ids0)
 
-            (p, a), _ = jax.lax.scan(body, (param, acc), None, length=S)
-            return jnp.sum(p[:1]) + jnp.sum(a[:1])
+            @jax.jit
+            def run(param, acc, ids, g, _p=pres):
+                def body(carry, _):
+                    p, a = carry
+                    return presorted_apply(p, a, ids, g, _p), None
+
+                (p, a), _ = jax.lax.scan(body, (param, acc), None, length=S)
+                return jnp.sum(p[:1]) + jnp.sum(a[:1])
+        else:
+            @jax.jit
+            def run(param, acc, ids, g, _f=f):
+                def body(carry, _):
+                    p, a = carry
+                    return _f(p, a, ids, g), None
+
+                (p, a), _ = jax.lax.scan(body, (param, acc), None, length=S)
+                return jnp.sum(p[:1]) + jnp.sum(a[:1])
 
         float(run(param0, acc0, ids0, g0))
         t0 = time.perf_counter()
