@@ -43,13 +43,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=50_000)
     ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--mode", choices=["ITC", "SSL"], default="ITC")
     ap.add_argument("--dim", type=int, default=75)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--check-band", action="store_true")
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "QUALITY_AT_SCALE.json"))
+    ap.add_argument("--out", default=None,
+                    help="default: QUALITY_AT_SCALE.json (ITC) / "
+                         "QUALITY_AT_SCALE_SSL.json at the repo root")
     ns = ap.parse_args()
+    if ns.out is None:
+        name = "QUALITY_AT_SCALE.json" if ns.mode == "ITC" \
+            else "QUALITY_AT_SCALE_SSL.json"
+        ns.out = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), name)
 
     if ns.cpu:
         import jax
@@ -62,7 +68,11 @@ def main():
     from multike_tpu.data import synthetic
     from multike_tpu.data.dataset import DataModel
     from multike_tpu.eval import views as vw
-    from multike_tpu.train.itc import MultiKE_ITC
+
+    if ns.mode == "SSL":
+        from multike_tpu.train.ssl import MultiKE_SSL as Model
+    else:
+        from multike_tpu.train.itc import MultiKE_ITC as Model
 
     n = ns.entities
     folder = synthetic.generate(
@@ -76,6 +86,7 @@ def main():
         training_data=folder, dim=ns.dim, batch_size=5000,
         entity_batch_size=5000, attribute_batch_size=5000,
         encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
+        shared_learning_max_epoch=max(10, ns.epochs // 2),
         learning_rate=0.01, truncated_freq=max(5, ns.epochs // 5),
         start_predicate_soft_alignment=max(5, ns.epochs // 5),
         start_valid=999, eval_freq=999, is_save=False,
@@ -86,7 +97,7 @@ def main():
     prep_s = time.time() - t0
     log(f"data+predicates prepared in {prep_s:.1f}s")
 
-    model = MultiKE_ITC(cfg, data, pam, verbose=True)
+    model = Model(cfg, data, pam, verbose=True)
     t0 = time.time()
     model.run()
     train_s = time.time() - t0
@@ -94,7 +105,7 @@ def main():
         f"({train_s / ns.epochs:.2f} s/epoch)")
 
     out = {
-        "metric": "itc_quality_at_scale",
+        "metric": f"{ns.mode.lower()}_quality_at_scale",
         "entities_per_kg": n, "epochs": ns.epochs, "dim": ns.dim,
         "backend": jax.default_backend(),
         "prep_seconds": round(prep_s, 1),
@@ -116,6 +127,9 @@ def main():
         json.dump(out, f, indent=1)
 
     if ns.check_band:
+        if ns.mode != "ITC":
+            log("--check-band is calibrated for ITC (skipped)")
+            return
         bad = {v: (out["views"][v]["test_mrr"], floor)
                for v, floor in BAND.items()
                if out["views"][v]["test_mrr"] < floor}
