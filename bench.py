@@ -251,6 +251,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for CI/smoke")
+    ap.add_argument("--entities", type=int, default=None,
+                    help="entities per KG (default 100000 = DWY100K size; "
+                         "triples per KG = 6x this)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--baseline-steps", type=int, default=None)
     ns = ap.parse_args()
@@ -265,7 +268,8 @@ def main():
     else:
         # True DWY100K size: ~100K entities and ~600K triples per KG side
         # (reference README.md:4-22).
-        n_ent, n_tri, n_rel = 100_000, 600_000, 500
+        n_ent = ns.entities or 100_000
+        n_tri, n_rel = 6 * n_ent, 500
         epochs = ns.epochs or 5
         base_steps = ns.baseline_steps or 20
         cfg = Config(dim=75, batch_size=5000, neg_triple_num=10)
