@@ -73,8 +73,12 @@ def use_row_sparse(cfg: Config, table_rows: int,
     with the SCATTERED-ROW count (~1.3 ms at 20K ids, 2.4 ms at 60K over a
     200K-row table) while dense optax is ~flat per table size (~1.0 ms at
     100K rows, 2.1 ms at 200K, 6.4 ms at 1M) — so row-sparse wins when the
-    step touches a small fraction of the table (4*ids <= rows matches every
-    measured point) or the table is huge."""
+    step touches a small fraction of the table AND the table is big enough
+    that a full dense pass actually hurts. The 150K floor comes from an
+    in-situ A/B (bench.py --entities 50000): at E=100K the dense pass
+    overlaps into the scan so well that row-sparse LOST 26% end-to-end
+    (6.9M -> 5.1M triples/s uniform) despite winning the isolated
+    micro-bench; at E=200K row-sparse wins both ways."""
     if cfg.optimizer != "Adagrad":
         return False
     mode = cfg.row_sparse_updates
@@ -82,7 +86,8 @@ def use_row_sparse(cfg: Config, table_rows: int,
         return True
     if mode in (False, "off", "false"):
         return False
-    if ids_count is not None and 4 * ids_count <= table_rows:
+    if ids_count is not None and 4 * ids_count <= table_rows \
+            and table_rows >= 150_000:
         return True
     return table_rows >= cfg.row_sparse_min_rows
 
