@@ -67,7 +67,16 @@ class MeshContext:
         if jax.process_count() > 1:
             assert n == len(devices), \
                 "multi-process mesh must span all global devices"
-            assert tp == 1, "tp row-sharding is single-process only for now"
+            # tp row-sharding across processes: with the process-major
+            # (dp, tp) device layout every process's addressable devices
+            # cover all tp columns, so each process holds (and passes to
+            # make_array_from_process_local_data) the full table — the
+            # addressable portion equals the global array. Verified by the
+            # dp=4 x tp=2 two-process equivalence test
+            # (tests/test_multiprocess.py).
+            assert len(devices) % tp == 0 and \
+                (len(devices) // jax.process_count()) % tp == 0, \
+                "tp must divide each process's device count"
         arr = np.asarray(devices[:n]).reshape(dp, tp)
         return MeshContext(Mesh(arr, ("dp", "tp")))
 

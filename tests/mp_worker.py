@@ -8,7 +8,7 @@ writes the losses to the JSON path in argv[3]; the parent compares them to a
 single-process run (replacing the reference's mp-producer pipeline,
 /root/reference/code/MultiKE_Late.py:209-211, end-to-end).
 
-Usage: mp_worker.py <process_id> <port> <out_json>
+Usage: mp_worker.py <process_id> <port> <out_json> [dp] [tp]
 """
 import json
 import sys
@@ -20,6 +20,8 @@ jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
 port = sys.argv[2]
 out_path = sys.argv[3]
+dp = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+tp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
 from multike_tpu.parallel.distributed import init_distributed  # noqa: E402
 
@@ -35,7 +37,8 @@ from multike_tpu.params import init_params  # noqa: E402
 from multike_tpu.train import streams  # noqa: E402
 from tests.mp_workload import WORKLOAD, run_workload  # noqa: E402
 
-cfg = WORKLOAD["cfg"].replace(mesh_dp=8, mesh_tp=1, row_sparse_updates=True)
+cfg = WORKLOAD["cfg"].replace(mesh_dp=dp, mesh_tp=tp,
+                              row_sparse_updates=True)
 pctx = MeshContext.from_config(cfg)
 losses = run_workload(cfg, pctx)
 if pid == 0:

@@ -21,15 +21,18 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
-def test_two_process_dp_matches_single_process(tmp_path):
+@pytest.mark.parametrize("dp,tp,port", [(8, 1, "29517"), (4, 2, "29518")])
+def test_two_process_mesh_matches_single_process(tmp_path, dp, tp, port):
+    """dp=8 and dp=4 x tp=2 (row-sharded tables + masked-gather/psum +
+    tp-offset row-sparse applies) over 2 real jax.distributed processes."""
     out = str(tmp_path / "mp_losses.json")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
-    port = "29517"
     worker = os.path.join(_REPO, "tests", "mp_worker.py")
-    procs = [subprocess.Popen([sys.executable, worker, str(pid), port, out],
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), port, out,
+                               str(dp), str(tp)],
                               env=env, cwd=_REPO,
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT)
