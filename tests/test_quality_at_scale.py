@@ -32,8 +32,8 @@ def test_quality_band_at_scale(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(out.read_text())
     views = res["views"]
-    # compressed-run floors (25 epochs vs the artifact's 50: the common
-    # space converges late — 5K/20ep measured final 0.66, 50K/50ep 0.93 —
-    # so the final floor here is the early-curve one; rv converges fast)
-    assert views["rv"]["test_mrr"] >= 0.90, views
-    assert views["final"]["test_mrr"] >= 0.55, views
+    # floors from the recorded 20K/25-epoch validation run (rv 0.9906,
+    # final 0.9531 with the shipped truncated chunk_shared scheme —
+    # docs/EXPERIMENTS.md), with variance headroom
+    assert views["rv"]["test_mrr"] >= 0.95, views
+    assert views["final"]["test_mrr"] >= 0.80, views
