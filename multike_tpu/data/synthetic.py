@@ -4,8 +4,32 @@ Produces the exact file set ``read_kgs_from_folder`` + ``DataModel`` expect
 (rel_triples_{1,2}, attr_triples_{1,2}, entity_local_name_{1,2},
 predicate_local_name_{1,2}, <division>/{train,valid,test}_links and a small
 fastText-style ``.vec`` word-embedding file), so tests and benchmarks can run
-end-to-end without the (absent) DWY100K archive. The two KGs are generated as
-noisy copies of one underlying graph so entity alignment is learnable.
+end-to-end without the (absent) DWY100K archive.
+
+Every view carries CONTROLLED, PARTIAL signal at any dataset size (VERDICT
+r3 item 3 — the r3 generator's attribute values were drawn independently per
+KG, so the attribute view had literally zero cross-KG signal, and entity
+names drew from a 39-word vocabulary, so at 50K entities the name view
+measured word-pair collisions instead of alignment):
+
+* **name view**: entity names are unique word triples over a vocabulary that
+  scales with the entity count (base-V digit decomposition => no collisions);
+  ``name_noise`` is the fraction of KG2 entities whose name is REPLACED by an
+  unrelated one — the name view's ceiling is ~(1 - name_noise).
+* **relation view**: both KGs are noisy copies of one underlying edge set;
+  ``rel_noise`` is the probability a KG2 edge's tail is rewired.
+* **attribute view**: ONE set of base (entity, attribute, value) facts is
+  generated and both KGs serialize noisy copies of it — aligned entities
+  share most of their (attribute, value) pairs, which is exactly the signal
+  the attribute CNN can align on. ``attr_noise`` is the probability a KG2
+  fact is dropped or its value re-drawn; ``attr_noise=1.0`` reproduces the
+  r3 generator's no-signal regime (used by the A/B that diagnosed the SSL
+  av collapse, docs/EXPERIMENTS.md r4).
+
+With the default noises each view is imperfect in a DIFFERENT 10-25% of
+entities, so multi-view combination has real headroom over any single view —
+the MultiKE headline property (reference MultiKE_Late.py:275-280) is
+demonstrable on this data at any scale.
 """
 from __future__ import annotations
 
@@ -15,17 +39,19 @@ from typing import List, Tuple
 
 import numpy as np
 
-WORDS = [
-    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
-    "india", "juliet", "kilo", "lima", "mike", "november", "oscar", "papa",
-    "quebec", "romeo", "sierra", "tango", "uniform", "victor", "whiskey",
-    "xray", "yankee", "zulu", "red", "green", "blue", "amber", "coral",
-    "ivory", "jade", "onyx", "pearl", "ruby", "slate", "topaz", "umber",
-]
+_CONS = "bcdfghjklmnprstvz"
+_VOW = "aeiou"
+_SYLL = [c + v for c in _CONS for v in _VOW]          # 85 distinct syllables
 
 
-def _entity_name(i: int) -> str:
-    return f"{WORDS[i % len(WORDS)]} {WORDS[(7 * i + 3) % len(WORDS)]} {i}"
+def _word(i: int) -> str:
+    """Deterministic pseudo-word #i (3 syllables => 614k distinct words)."""
+    s = len(_SYLL)
+    return _SYLL[i % s] + _SYLL[(i // s) % s] + _SYLL[(i // (s * s)) % s]
+
+
+def _make_vocab(n: int) -> List[str]:
+    return [_word(i) for i in range(n)]
 
 
 def generate(folder: str,
@@ -37,7 +63,10 @@ def generate(folder: str,
              division: str = "631/",
              link_fracs: Tuple[float, float, float] = (0.6, 0.1, 0.3),
              seed: int = 7,
-             write_word2vec: bool = True) -> str:
+             write_word2vec: bool = True,
+             rel_noise: float = 0.2,
+             attr_noise: float = 0.25,
+             name_noise: float = 0.1) -> str:
     rng = random.Random(seed)
     os.makedirs(folder, exist_ok=True)
     os.makedirs(os.path.join(folder, division.strip("/")), exist_ok=True)
@@ -49,7 +78,16 @@ def generate(folder: str,
     attrs1 = [f"http://kg1/a{i}" for i in range(n_attributes)]
     attrs2 = [f"http://kg2/attr{i}" for i in range(n_attributes)]
 
-    # Underlying graph; KG2 is a perturbed copy (drop/replace ~20% of edges).
+    # Vocabulary scaled so V^3 >> n_entities (unique 3-word names) while the
+    # .vec file stays small (V words of 300 dims).
+    V = max(40, int(round((20.0 * max(n_entities, 1)) ** (1.0 / 3.0))))
+    vocab = _make_vocab(V)
+
+    def entity_name(i: int) -> str:
+        return (f"{vocab[i % V]} {vocab[(i // V) % V]} "
+                f"{vocab[(i // (V * V)) % V]}")
+
+    # ---- relation view: one underlying edge set, KG2 a rewired copy -------
     base_edges = set()
     while len(base_edges) < n_rel_triples:
         h = rng.randrange(n_entities)
@@ -63,7 +101,7 @@ def generate(folder: str,
     def write_rel(path: str, ents: List[str], rels: List[str], flip: bool):
         with open(path, "w", encoding="utf8") as f:
             for (h, r, t) in base_edges:
-                if flip and rng.random() < 0.2:
+                if flip and rng.random() < rel_noise:
                     t = rng.randrange(n_entities)  # perturb
                     if t == h:
                         continue
@@ -72,40 +110,55 @@ def generate(folder: str,
     write_rel(os.path.join(folder, "rel_triples_1"), ents1, rels1, flip=False)
     write_rel(os.path.join(folder, "rel_triples_2"), ents2, rels2, flip=True)
 
-    # Attribute triples: values are small word phrases; some numeric; some
-    # carry datatype suffixes to exercise the cleaner; every attribute gets
-    # >= MIN_ATTR_FREQ triples so cleaning keeps them.
-    def make_value(i: int) -> str:
+    # ---- attribute view: SHARED base facts, noisy copies per KG -----------
+    # Values are small word phrases, years, or datatype-suffixed numbers (the
+    # latter two exercise the attribute cleaner + char-level fallback).
+    def make_value() -> str:
         roll = rng.random()
         if roll < 0.2:
             return f"{rng.randrange(1900, 2030)}"
         if roll < 0.3:
             return f'"{rng.randrange(100)}"^^<http://www.w3.org/2001/XMLSchema#integer>'
-        w1 = WORDS[rng.randrange(len(WORDS))]
-        w2 = WORDS[rng.randrange(len(WORDS))]
+        w1 = vocab[rng.randrange(V)]
+        w2 = vocab[rng.randrange(V)]
         return f"{w1} {w2}"
 
-    def write_attr(path: str, ents: List[str], attrs: List[str]):
+    base_facts = []                    # (entity, attr, value)
+    n = 0
+    while n < n_attr_triples:
+        e = rng.randrange(n_entities)
+        a = n % n_attributes           # round-robin => every attr is frequent
+        base_facts.append((e, a, make_value()))
+        n += 1
+
+    def write_attr(path: str, ents: List[str], attrs: List[str],
+                   noisy: bool):
         with open(path, "w", encoding="utf8") as f:
-            n = 0
-            while n < n_attr_triples:
-                e = rng.randrange(n_entities)
-                a = n % n_attributes  # round-robin => every attr is frequent
-                f.write(f"{ents[e]}\t{attrs[a]}\t{make_value(n)}\n")
-                n += 1
+            for (e, a, v) in base_facts:
+                if noisy and rng.random() < attr_noise:
+                    if rng.random() < 0.5:
+                        continue                      # dropped fact
+                    v = make_value()                  # re-drawn value
+                f.write(f"{ents[e]}\t{attrs[a]}\t{v}\n")
 
-    write_attr(os.path.join(folder, "attr_triples_1"), ents1, attrs1)
-    write_attr(os.path.join(folder, "attr_triples_2"), ents2, attrs2)
+    write_attr(os.path.join(folder, "attr_triples_1"), ents1, attrs1,
+               noisy=False)
+    write_attr(os.path.join(folder, "attr_triples_2"), ents2, attrs2,
+               noisy=True)
 
-    # Entity local names: aligned pairs share (mostly) the same name.
-    with open(os.path.join(folder, "entity_local_name_1"), "w", encoding="utf8") as f:
+    # ---- name view: unique names; a name_noise fraction of KG2 entities
+    # gets an unrelated name (offset far beyond any neighbor collision) -----
+    with open(os.path.join(folder, "entity_local_name_1"), "w",
+              encoding="utf8") as f:
         for i, e in enumerate(ents1):
-            f.write(f"{e}\t{_entity_name(i)}\n")
-    with open(os.path.join(folder, "entity_local_name_2"), "w", encoding="utf8") as f:
+            f.write(f"{e}\t{entity_name(i)}\n")
+    with open(os.path.join(folder, "entity_local_name_2"), "w",
+              encoding="utf8") as f:
         for i, e in enumerate(ents2):
-            name = _entity_name(i)
-            if rng.random() < 0.1:  # noise
-                name = name + " jr"
+            name = entity_name(i)
+            if rng.random() < name_noise:
+                name = entity_name(i + 7 * n_entities + rng.randrange(
+                    n_entities))
             f.write(f"{e}\t{name}\n")
 
     # Predicate local names: relation and attribute URIs in one file per KG
@@ -113,9 +166,9 @@ def generate(folder: str,
     def write_pred(path: str, rels: List[str], attrs: List[str]):
         with open(path, "w", encoding="utf8") as f:
             for i, r in enumerate(rels):
-                f.write(f"{r}\trelation {WORDS[i % len(WORDS)]}\n")
+                f.write(f"{r}\trelation {vocab[i % V]}\n")
             for i, a in enumerate(attrs):
-                f.write(f"{a}\tattribute {WORDS[i % len(WORDS)]}\n")
+                f.write(f"{a}\tattribute {vocab[i % V]}\n")
 
     write_pred(os.path.join(folder, "predicate_local_name_1"), rels1, attrs1)
     write_pred(os.path.join(folder, "predicate_local_name_2"), rels2, attrs2)
@@ -137,11 +190,13 @@ def generate(folder: str,
                 f.write(f"{ents1[i]}\t{ents2[i]}\n")
 
     if write_word2vec:
+        # Names may index up to 8*n_entities past the base range (noise
+        # replacements), but those still decompose into the same V words.
         vec_path = os.path.join(folder, "mini_word2vec.vec")
         nprng = np.random.RandomState(seed)
-        vocab = sorted(set(WORDS) | {"relation", "attribute", "jr"})
+        vec_vocab = sorted(set(vocab) | {"relation", "attribute"})
         with open(vec_path, "w", encoding="utf8") as f:
-            for w in vocab:
+            for w in vec_vocab:
                 v = nprng.normal(size=300).astype(np.float32)
                 f.write(w + " " + " ".join(f"{x:.4f}" for x in v) + "\n")
     if not folder.endswith("/"):

@@ -204,8 +204,25 @@ def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
     if metric == "cosine":
         normalize = True  # cosine == normalized inner product
     elif metric != "inner":
-        raise NotImplementedError(
-            f"device eval supports inner/cosine; use eval.similarity.sim for {metric!r}")
+        # euclidean/manhattan/cdist route through the host sim matrix +
+        # calculate_rank oracle (reference base/similarity.py:36-52 serves
+        # these; the device engine is inner-product-shaped). O(n1*n2) host
+        # memory — fine at valid-set sizes, use inner/cosine for full-KG
+        # eval.
+        from multike_tpu.eval.similarity import sim as sim_fn
+
+        sim_mat = sim_fn(np.asarray(embed1), np.asarray(embed2),
+                         metric=metric, normalize=normalize, csls_k=csls_k)
+        n1 = sim_mat.shape[0]
+        mr, mrr, hits_n, hits1_rest = calculate_rank(
+            list(range(n1)), sim_mat, top_k, accurate, n1)
+        hits = [round(h / n1 * 100, 3) for h in hits_n]
+        cost = time.time() - t
+        if verbose:
+            mode = "accurate" if accurate else "quick"
+            print(f"{mode} results ({metric}): hits@{list(top_k)} = {hits}%, "
+                  f"mr = {mr:.3f}, mrr = {mrr:.6f}, time = {cost:.3f} s")
+        return hits1_rest, hits[0], mr, mrr
     ranks, best = rank_and_align(
         embed1, embed2, normalize=normalize, csls_k=csls_k,
         matmul_dtype=matmul_dtype if matmul_dtype is not None else jnp.float32,

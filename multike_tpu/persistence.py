@@ -134,7 +134,25 @@ def load_checkpoint(path: str, params, opt_states, key):
         new_leaves = []
         for path_, leaf in leaves:
             k = prefix + "/".join(str(p) for p in path_)
-            arr = data[k]
+            if k in data:
+                arr = data[k]
+            elif prefix == "opt:":
+                # Migration: checkpoints written before streams always used
+                # plain accumulator dicts for Adagrad stored the optax
+                # ScaleByRssState, so the accumulator lived under extra
+                # tuple-path components (opt:<stream>/[0]/[0]/<table>).
+                # Match by stream head + table tail; adagrad state has
+                # exactly one array leaf per table so this is unambiguous.
+                head, _, tail = k.rpartition("/")
+                cands = [f for f in data.files
+                         if f.startswith(head + "/") and f.endswith("/" + tail)]
+                if len(cands) != 1:
+                    raise KeyError(
+                        f"checkpoint missing optimizer entry {k!r} and "
+                        f"found {len(cands)} migration candidates {cands}")
+                arr = data[cands[0]]
+            else:
+                raise KeyError(k)
             new_leaves.append(jnp.asarray(arr, dtype=jnp.asarray(leaf).dtype))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 

@@ -295,7 +295,8 @@ def sample_shared_corruptions(key, num_chunks: int, neg_num: int, lo: int, hi: i
 def sample_shared_neighbor_corruptions(key, pos: jnp.ndarray, num_chunks: int,
                                        chunk_rows: int, neg_num: int,
                                        lo: int, hi: int,
-                                       neighbors: NeighborState):
+                                       neighbors: NeighborState,
+                                       mask: jnp.ndarray | None = None):
     """Neighbor-restricted chunk-shared candidate pools (the truncated-phase
     analog of :func:`sample_shared_corruptions`; VERDICT r2 item 2's
     'neighbor-bucketed chunk scheme').
@@ -318,15 +319,28 @@ def sample_shared_neighbor_corruptions(key, pos: jnp.ndarray, num_chunks: int,
     while gathers are parallel; benchmarks/apply_bench.py).
 
     ``pos``: (num_chunks * chunk_rows, 3) positive triples (chunk-padded).
-    Returns ``(cand_h, cand_t)``, each (num_chunks, neg_num) int32."""
+    ``mask``: optional (num_chunks * chunk_rows,) validity mask (nonzero =
+    real slot). Padded slots hold copies of earlier triples
+    (streams._padded_epoch_indices pads with index 0), and the padding is a
+    contiguous SUFFIX of each chunk — so donors are drawn from
+    [0, real_rows) per chunk, keeping the donor distribution uniform over
+    real positives even in tail chunks. Without a mask every slot is assumed
+    real. Returns ``(cand_h, cand_t)``, each (num_chunks, neg_num) int32."""
     kd_h, kd_t, kc_h, kc_t, ku = jax.random.split(key, 5)
     h = pos[:, 0].reshape(num_chunks, chunk_rows)
     t = pos[:, 2].reshape(num_chunks, chunk_rows)
+    if mask is not None:
+        real_rows = jnp.maximum(
+            (mask.reshape(num_chunks, chunk_rows) != 0)
+            .sum(axis=1).astype(jnp.int32), 1)              # (NC,)
+    else:
+        real_rows = jnp.full((num_chunks,), chunk_rows, jnp.int32)
     span = hi - lo
     uni = lo + jax.random.randint(ku, (2, num_chunks, neg_num), 0, 1 << 30) % span
 
     def pool(kd, kc, ents, uniform):
-        donor = jax.random.randint(kd, (num_chunks, neg_num), 0, chunk_rows)
+        donor = (jax.random.randint(kd, (num_chunks, neg_num), 0, 1 << 30)
+                 % real_rows[:, None])
         target = jnp.take_along_axis(ents, donor, axis=1)   # (NC, C)
         cnts = neighbors.cnt[target]
         col = (jax.random.randint(kc, (num_chunks, neg_num), 0, 1 << 30)

@@ -80,15 +80,25 @@ def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
         sid, indices_are_sorted=True)
     loc = rep - row_offset
     valid = (loc >= 0) & (loc < E)
-    loc = jnp.where(valid, loc, E)          # E = dropped by scatter mode
+    # Invalid slots (sentinels + out-of-shard ids) map to DISTINCT >=E
+    # indices so the unique_indices promise below holds unconditionally;
+    # scatter mode="drop" discards them. Sortedness only survives when
+    # row_offset is statically 0 (below-shard ids land at the FRONT of the
+    # sorted order but get remapped to large E+i values, breaking
+    # monotonicity for nonzero offsets) — claim it only then.
+    loc = jnp.where(valid, loc,
+                    E + jnp.arange(ids.shape[0], dtype=ids.dtype))
+    is_sorted = isinstance(row_offset, int) and row_offset == 0
     safe = jnp.clip(loc, 0, E - 1)          # gather clamps anyway; explicit
-    new_acc_rows = acc.at[safe].get(indices_are_sorted=True) + jnp.square(gsum)
+    new_acc_rows = (acc.at[safe].get(indices_are_sorted=is_sorted)
+                    + jnp.square(gsum))
     upd = jnp.where(new_acc_rows > 0,
                     jax.lax.rsqrt(new_acc_rows + eps), 0.0) * gsum
     acc = acc.at[loc].set(new_acc_rows, mode="drop",
-                          indices_are_sorted=True, unique_indices=True)
+                          indices_are_sorted=is_sorted, unique_indices=True)
     param = param.at[loc].add(-lr * upd, mode="drop",
-                              indices_are_sorted=True, unique_indices=True)
+                              indices_are_sorted=is_sorted,
+                              unique_indices=True)
     return param, acc
 
 

@@ -66,6 +66,40 @@ STREAM_VARS: Dict[str, Tuple[str, ...]] = {
     s: rows + dense for s, (rows, dense) in STREAM_SPEC.items()}
 
 
+# Measured row-sparse-vs-dense crossover per TPU device kind (VERDICT r3
+# weak 6): (min table rows for row-sparse, max touched fraction). The v5e
+# entry comes from the in-situ A/B in docs/EXPERIMENTS.md r3 (dense wins
+# end-to-end below 150K rows; row-sparse needs the step to touch <= 1/4 of
+# the table). Other device kinds fall back to the v5e numbers with a one-time
+# log line — scatter serialization and HBM bandwidth differ across
+# generations, so re-derive with benchmarks/apply_bench.py when a new kind
+# shows up and add its row here.
+_ROW_SPARSE_CROSSOVER = {
+    "TPU v5 lite": (150_000, 0.25),
+    "TPU v5e": (150_000, 0.25),
+}
+_warned_kinds: set = set()
+
+
+def _row_sparse_thresholds() -> Tuple[int, float]:
+    import jax as _jax
+    try:
+        kind = _jax.devices()[0].device_kind
+    except Exception:
+        kind = "cpu"
+    for known, thresholds in _ROW_SPARSE_CROSSOVER.items():
+        if kind.startswith(known):
+            return thresholds
+    if kind not in _warned_kinds:
+        _warned_kinds.add(kind)
+        import logging
+        logging.getLogger("multike_tpu").info(
+            "use_row_sparse auto thresholds unmeasured for device kind %r; "
+            "using v5e crossover (150K rows, 1/4 touched). Re-derive with "
+            "benchmarks/apply_bench.py for this hardware.", kind)
+    return (150_000, 0.25)
+
+
 def use_row_sparse(cfg: Config, table_rows: int,
                    ids_count: int | None = None) -> bool:
     """Row-sparse vs dense-optax update path. "auto" picks by the measured
@@ -86,8 +120,9 @@ def use_row_sparse(cfg: Config, table_rows: int,
         return True
     if mode in (False, "off", "false"):
         return False
-    if ids_count is not None and 4 * ids_count <= table_rows \
-            and table_rows >= 150_000:
+    min_rows, max_frac = _row_sparse_thresholds()
+    if ids_count is not None and ids_count <= max_frac * table_rows \
+            and table_rows >= min_rows:
         return True
     return table_rows >= cfg.row_sparse_min_rows
 
@@ -336,6 +371,9 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     if cfg.truncated_neg_scheme not in ("per_slot", "chunk_shared"):
         raise ValueError(f"truncated_neg_scheme must be 'per_slot' or "
                          f"'chunk_shared', got {cfg.truncated_neg_scheme!r}")
+    if cfg.neg_scheme not in ("per_slot", "chunk_shared"):
+        raise ValueError(f"neg_scheme must be 'per_slot' or 'chunk_shared', "
+                         f"got {cfg.neg_scheme!r}")
     trunc_chunks = with_neighbors and cfg.truncated_neg_scheme == "chunk_shared"
     use_chunks = trunc_chunks or \
         ((cfg.neg_scheme == "chunk_shared") and not with_neighbors)
@@ -389,31 +427,22 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
     # likewise ONE row-sparse apply. (Naive per-lookup autodiff emits one
     # dense zeros+scatter per gather — measured ~2.5x slower per step.)
     def prep(t1b, m1, k1, t2b, m2, k2, nbr):
-        if use_chunks:
-            if trunc_chunks:
-                ch1, ct1 = sample_shared_neighbor_corruptions(
-                    k1, t1b, nc1, s1, pool, lo1, hi1, nbr)
-                ch2, ct2 = sample_shared_neighbor_corruptions(
-                    k2, t2b, nc2, s2, pool, lo2, hi2, nbr)
-            else:
-                ch1, ct1 = sample_shared_corruptions(k1, nc1, pool, lo1, hi1)
-                ch2, ct2 = sample_shared_corruptions(k2, nc2, pool, lo2, hi2)
-            parts = [t1b[:, 0], t1b[:, 2], ch1.ravel(), ct1.ravel(),
-                     t2b[:, 0], t2b[:, 2], ch2.ravel(), ct2.ravel()]
-            aux = (chunk_keep_masks(t1b, ch1, ct1, nc1, s1),
-                   chunk_keep_masks(t2b, ch2, ct2, nc2, s2))
-        else:
-            cand1, hb1, keep1 = sample_corruptions(
-                k1, t1b, lo1, hi1, neg_num, nbr, tfilter=tfilter,
-                retries=cfg.neg_rejection_tries,
-                reject_mode=cfg.neg_reject_mode)
-            cand2, hb2, keep2 = sample_corruptions(
-                k2, t2b, lo2, hi2, neg_num, nbr, tfilter=tfilter,
-                retries=cfg.neg_rejection_tries,
-                reject_mode=cfg.neg_reject_mode)
-            parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
-                     t2b[:, 0], t2b[:, 2], cand2.ravel()]
-            aux = (hb1, keep1, hb2, keep2)
+        # chunk modes always presample (presample is True whenever
+        # use_chunks above) and go through prep_presampled_chunks; keeping a
+        # second in-scan chunk path here would just be dead code free to
+        # diverge silently.
+        assert not use_chunks
+        cand1, hb1, keep1 = sample_corruptions(
+            k1, t1b, lo1, hi1, neg_num, nbr, tfilter=tfilter,
+            retries=cfg.neg_rejection_tries,
+            reject_mode=cfg.neg_reject_mode)
+        cand2, hb2, keep2 = sample_corruptions(
+            k2, t2b, lo2, hi2, neg_num, nbr, tfilter=tfilter,
+            retries=cfg.neg_rejection_tries,
+            reject_mode=cfg.neg_reject_mode)
+        parts = [t1b[:, 0], t1b[:, 2], cand1.ravel(),
+                 t2b[:, 0], t2b[:, 2], cand2.ravel()]
+        aux = (hb1, keep1, hb2, keep2)
         return {"rv_ent": jnp.concatenate(parts)}, aux
 
     def prep_presampled(t1b, m1, cand1, hb1, keep1, t2b, m2, cand2, hb2,
@@ -505,13 +534,13 @@ def build_rel_view_epoch(cfg: Config, n1: int, n2: int,
             pos2 = triples2[idx2]
             if trunc_chunks:
                 ch1, ct1 = jax.vmap(
-                    lambda k, p: sample_shared_neighbor_corruptions(
-                        k, p, nc1, s1, pool, lo1, hi1, nbr)
-                )(jax.random.split(kp1, steps), pos1)
+                    lambda k, p, m: sample_shared_neighbor_corruptions(
+                        k, p, nc1, s1, pool, lo1, hi1, nbr, mask=m)
+                )(jax.random.split(kp1, steps), pos1, m1)
                 ch2, ct2 = jax.vmap(
-                    lambda k, p: sample_shared_neighbor_corruptions(
-                        k, p, nc2, s2, pool, lo2, hi2, nbr)
-                )(jax.random.split(kp2, steps), pos2)
+                    lambda k, p, m: sample_shared_neighbor_corruptions(
+                        k, p, nc2, s2, pool, lo2, hi2, nbr, mask=m)
+                )(jax.random.split(kp2, steps), pos2, m2)
             else:
                 ch1, ct1 = sample_shared_corruptions(
                     kp1, steps * nc1, pool, lo1, hi1)

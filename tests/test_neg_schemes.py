@@ -210,3 +210,33 @@ def test_rel_view_truncated_chunk_scheme_runs_and_learns():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], losses
+
+
+def test_shared_neighbor_donor_mask_excludes_padding():
+    """With a validity mask, donors come only from real (unmasked) slots —
+    padded tail slots' entities must contribute nothing to the pools
+    (ADVICE r3: tail-chunk donor bias)."""
+    from multike_tpu.sampling import (build_neighbor_state,
+                                      sample_shared_neighbor_corruptions)
+
+    lo, hi = 0, 50
+    nc, s, C = 2, 8, 64
+    # real entities 60..63 -> neighbors in 200..209; the padding entity 70
+    # -> neighbors in 300..309 (disjoint from both the real rows and the
+    # uniform range, so any leak is detectable)
+    useful = np.array([60, 61, 62, 63, 70], dtype=np.int64)
+    nbrs = np.stack([np.arange(200, 205), np.arange(202, 207),
+                     np.arange(204, 209), np.arange(205, 210),
+                     np.arange(300, 305)]).astype(np.int32)
+    state = build_neighbor_state(400, [(useful, nbrs)])
+    h = np.array([60, 61, 62, 63] + [70] * 4 +      # chunk 0: 4 real + 4 pad
+                 [62, 63, 60, 61] + [70] * 4,       # chunk 1: same
+                 dtype=np.int32)
+    pos = np.stack([h, np.zeros_like(h), h], 1)
+    mask = np.tile([1.0] * 4 + [0.0] * 4, nc).astype(np.float32)
+    ch, ct = sample_shared_neighbor_corruptions(
+        jax.random.PRNGKey(7), jnp.asarray(pos), nc, s, C, lo, hi, state,
+        mask=jnp.asarray(mask))
+    for pool_arr in (np.asarray(ch), np.asarray(ct)):
+        assert pool_arr.min() >= 200 and pool_arr.max() < 210, \
+            "padding entity's neighbor rows leaked into the pools"

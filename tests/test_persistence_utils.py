@@ -105,3 +105,30 @@ def test_driver_resume(tmp_path, trained_like=None):
     assert resumed == 2
     np.testing.assert_array_equal(np.asarray(m2.params["rv_ent"]),
                                   np.asarray(m1.params["rv_ent"]))
+
+
+def test_checkpoint_migration_from_optax_state(tmp_path):
+    """Checkpoints written by pre-r4 builds stored the optax ScaleByRssState
+    for Adagrad; load_checkpoint must migrate them into the plain
+    accumulator-dict template (ADVICE r3)."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    from multike_tpu.persistence import load_checkpoint, save_checkpoint
+
+    rng = np.random.RandomState(3)
+    params = {"rv_ent": jnp.asarray(rng.randn(6, 4), jnp.float32)}
+    opt = optax.adagrad(0.1, initial_accumulator_value=0.1)
+    old_state = {"rel_view": opt.init({"rv_ent": params["rv_ent"]})}
+    path = str(tmp_path / "old.npz")
+    save_checkpoint(path, params, old_state, jax.random.PRNGKey(0), 3)
+
+    new_template = {"rel_view": {"rv_ent": jnp.zeros((6, 4), jnp.float32)}}
+    p2, s2, _, epoch, _ = load_checkpoint(path, params, new_template,
+                                          jax.random.PRNGKey(0))
+    assert epoch == 3
+    want_acc = old_state["rel_view"][0].sum_of_squares["rv_ent"]
+    np.testing.assert_array_equal(np.asarray(s2["rel_view"]["rv_ent"]),
+                                  np.asarray(want_acc))
