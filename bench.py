@@ -256,6 +256,13 @@ def main():
                          "triples per KG = 6x this)")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--baseline-steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="positives per step (default 20000: the TPU-native "
+                         "batch — amortizes the flat optimizer apply over "
+                         "4x the triples of the reference's batch 5000 "
+                         "(args.json:21); quality A/B'd at equal epochs in "
+                         "docs/EXPERIMENTS.md r4. Pass 5000 for "
+                         "reference-parity batching)")
     ns = ap.parse_args()
 
     from multike_tpu.config import Config
@@ -272,7 +279,8 @@ def main():
         n_tri, n_rel = 6 * n_ent, 500
         epochs = ns.epochs or 5
         base_steps = ns.baseline_steps or 20
-        cfg = Config(dim=75, batch_size=5000, neg_triple_num=10)
+        cfg = Config(dim=75, batch_size=ns.batch or 20_000,
+                     neg_triple_num=10)
 
     rng = np.random.RandomState(7)
     triples1 = synthetic_triples(rng, n_tri, 0, n_ent, n_rel, 0)
@@ -307,6 +315,7 @@ def main():
         "vs_baseline": round(tps / base, 3),
         "entities_per_kg": n_ent,
         "triples_per_kg": n_tri,
+        "batch_size": cfg.batch_size,
         # Per-phase truth (VERDICT r2 weak #2): the uniform phase runs
         # chunk_shared with chunk_exact_rejection=False — its pools are NOT
         # Bloom-filtered (config.py's documented default); only the truncated

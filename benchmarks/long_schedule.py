@@ -1,0 +1,114 @@
+"""Reference-length schedule run (VERDICT r3 item 4).
+
+The reference trains max_epoch=200 with start_valid=100, eval_freq=10,
+truncated_freq=20 (/root/reference/code/args.json:19-36); the longest r3
+recording was 50 epochs. This script runs the FULL ITC driver on the
+reference schedule at --entities scale (CPU ok), recording:
+
+  * the per-eval validation MRR trajectory (rv/av/final every 10 epochs
+    from 100) — read back from the metrics jsonl,
+  * epoch-time stability (first-10 vs last-10 mean seconds per rel_view
+    epoch) — a drift check on the truncated chunk estimator across the
+    ~10 neighbor refreshes of the schedule,
+  * early-stop behavior and final per-view test MRRs.
+
+Writes LONG_SCHEDULE.json at the repo root.
+
+Usage: python benchmarks/long_schedule.py [--entities 20000] [--epochs 200]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=20_000)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--dim", type=int, default=75)
+    ap.add_argument("--out", default=None)
+    ns = ap.parse_args()
+
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.config import Config
+    from multike_tpu.data import synthetic
+    from multike_tpu.data.dataset import DataModel
+    from multike_tpu.eval import views as vw
+    from multike_tpu.train.itc import MultiKE_ITC
+
+    n = ns.entities
+    folder = synthetic.generate(
+        f"/tmp/longsched_{n}/", seed=17, n_entities=n,
+        n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
+        n_rel_triples=6 * n, n_attr_triples=3 * n)
+    metrics_path = f"/tmp/longsched_{n}/metrics.jsonl"
+    if os.path.exists(metrics_path):
+        os.remove(metrics_path)
+
+    # the reference schedule (args.json:19-36), scaled only in data size
+    cfg = Config(
+        training_data=folder, dim=ns.dim, batch_size=5000,
+        entity_batch_size=5000, attribute_batch_size=5000,
+        encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
+        learning_rate=0.01, start_valid=100, eval_freq=10,
+        truncated_freq=20, start_predicate_soft_alignment=20,
+        metrics_log_path=metrics_path, is_save=False,
+        word2vec_path=folder + "mini_word2vec.vec")
+    t0 = time.time()
+    data = DataModel(cfg)
+    pam = PredicateAlignModel(data.kgs, cfg)
+    prep_s = time.time() - t0
+    log(f"data prepared in {prep_s:.1f}s")
+
+    model = MultiKE_ITC(cfg, data, pam, verbose=True)
+    t0 = time.time()
+    model.run()
+    train_s = time.time() - t0
+
+    valid_traj = [{k: r[k] for k in
+                   ("epoch", "mrr_rv", "mrr_av", "mrr_final")}
+                  for r in model.metrics.stream_records("valid")]
+    rel_epochs = [r for r in model.metrics.stream_records("rel_view")
+                  if r.get("seconds")]
+    first10 = [r["seconds"] for r in rel_epochs[:10]]
+    last10 = [r["seconds"] for r in rel_epochs[-10:]]
+    stopped_epoch = rel_epochs[-1]["epoch"] if rel_epochs else 0
+
+    out = {
+        "metric": "long_schedule_itc",
+        "entities_per_kg": n, "max_epoch": ns.epochs,
+        "epochs_run": stopped_epoch,
+        "early_stopped": stopped_epoch < ns.epochs,
+        "dim": ns.dim, "prep_seconds": round(prep_s, 1),
+        "train_seconds": round(train_s, 1),
+        "rel_epoch_seconds_first10": round(sum(first10) / max(len(first10), 1), 3),
+        "rel_epoch_seconds_last10": round(sum(last10) / max(len(last10), 1), 3),
+        "valid_trajectory": valid_traj,
+        "views": {},
+    }
+    for choice in ("nv", "rv", "av", "final"):
+        mrr = float(vw.test(model, embed_choice=choice))
+        out["views"][choice] = round(mrr, 4)
+        log(f"view {choice}: test MRR {mrr:.4f}")
+    path = ns.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "LONG_SCHEDULE.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

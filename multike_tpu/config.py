@@ -218,6 +218,12 @@ class Config:
     # and the wedge-prone axon tunnel always use the scanned-XLA engine);
     # False = force the scanned-XLA engine everywhere.
     use_pallas: bool = True
+    # Fused Pallas Adagrad apply (kernels/apply_kernel.py): one HBM pass
+    # over the touched rows instead of XLA's four-op gather/scatter chain.
+    # DORMANT by default — Mosaic kernels wedge the axon tunnel (see
+    # eval/alignment._use_pallas_default) so it is interpret-validated only
+    # (tests/test_pallas_kernels.py); flip on for real TPU runtimes.
+    use_pallas_apply: bool = False
     # word2vec token length for literal encoding (literal_encoder.py:161)
     tokens_max_len: int = 5
     word2vec_dim: int = 300

@@ -96,6 +96,19 @@ def generate(folder: str,
             continue
         r = rng.randrange(n_relations)
         base_edges.add((h, r, t))
+    # every entity must appear in >= 1 relation triple: the reference id
+    # scheme assigns entity ids from the relation triples and asserts attr/
+    # name rows resolve against them (data/ids.py; base/kg.py does the same)
+    covered = set()
+    for (h, r, t) in base_edges:
+        covered.add(h)
+        covered.add(t)
+    for e in range(n_entities):
+        if e not in covered:
+            t = rng.randrange(n_entities)
+            while t == e:
+                t = rng.randrange(n_entities)
+            base_edges.add((e, rng.randrange(n_relations), t))
     base_edges = sorted(base_edges)
 
     def write_rel(path: str, ents: List[str], rels: List[str], flip: bool):
@@ -115,13 +128,18 @@ def generate(folder: str,
     # latter two exercise the attribute cleaner + char-level fallback).
     def make_value() -> str:
         roll = rng.random()
-        if roll < 0.2:
+        if roll < 0.1:
             return f"{rng.randrange(1900, 2030)}"
-        if roll < 0.3:
+        if roll < 0.15:
             return f'"{rng.randrange(100)}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        # 3-word phrases: ~V^3 distinct values, so a shared (attribute,
+        # value) pair is near-unique evidence for an aligned entity pair
+        # (2-word phrases at 5K entities collide ~7x each — measured to
+        # cap av MRR at ~0.35, docs/EXPERIMENTS.md r4)
         w1 = vocab[rng.randrange(V)]
         w2 = vocab[rng.randrange(V)]
-        return f"{w1} {w2}"
+        w3 = vocab[rng.randrange(V)]
+        return f"{w1} {w2} {w3}"
 
     base_facts = []                    # (entity, attr, value)
     n = 0

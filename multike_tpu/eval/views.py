@@ -46,7 +46,16 @@ def _eval_dtype(trainer):
 
 def _mesh(trainer):
     """The trainer's device mesh, when mesh training is configured — eval
-    ranks are then ring-distributed over it (eval/ring.py)."""
+    ranks are then ring-distributed over it (eval/ring.py).
+
+    Multi-process: the ring wrapper feeds process-local host arrays into a
+    process-spanning shard_map, which JAX rejects — every process instead
+    runs the single-device engine on the (identical) gathered host embeds,
+    which is also the cheaper plan at eval-set sizes."""
+    import jax
+
+    if jax.process_count() > 1:
+        return None
     pctx = getattr(trainer, "pctx", None)
     return pctx.mesh if pctx is not None else None
 

@@ -117,6 +117,31 @@ class MeshContext:
     def replicate(self, tree):
         return jax.tree_util.tree_map(lambda l: self._put(l, P()), tree)
 
+    def put_replicated(self, arr):
+        """One array, replicated over the (possibly multi-process) mesh."""
+        return self._put(np.asarray(arr), P())
+
+    def to_host(self, arr) -> np.ndarray:
+        """Full host value of a (possibly process-spanning) array.
+
+        Fully-addressable and fully-replicated arrays read directly; a
+        sharded process-spanning array (tp row-sharding) is first gathered
+        to a replicated layout by a jitted identity (an all-gather over the
+        mesh — MUST be called on every process). The driver's host
+        touch-points (checkpointing, predicate refresh, eval reads) run
+        symmetrically on all processes, satisfying that."""
+        if not isinstance(arr, jax.Array):
+            return np.asarray(arr)
+        if arr.is_fully_addressable:
+            return np.asarray(arr)
+        if not arr.is_fully_replicated:
+            arr = jax.jit(lambda x: x, out_shardings=NamedSharding(
+                self.mesh, P()))(arr)
+        return np.asarray(arr.addressable_data(0))
+
+    def to_host_tree(self, tree):
+        return jax.tree_util.tree_map(self.to_host, tree)
+
     def put_edge_partitioned(self, triples: np.ndarray):
         """Edge-partition a host triple array over 'dp'. Multi-process: each
         process contributes only its local_data_slice (padded by wraparound

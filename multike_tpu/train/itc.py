@@ -68,9 +68,13 @@ class MultiKE_ITC(MultiKETrainer):
             self.train_common_space_learning_1epo(i, entity_list)
 
             if i >= cfg.start_valid and i % cfg.eval_freq == 0:
-                vw.valid(self, embed_choice="rv")
-                vw.valid(self, embed_choice="av")
+                mrr_rv = vw.valid(self, embed_choice="rv")
+                mrr_av = vw.valid(self, embed_choice="av")
                 mrr = vw.valid(self, embed_choice="final")
+                # per-epoch eval trajectory in the metrics jsonl (the
+                # long-schedule artifact reads it back; SURVEY.md §5)
+                self.metrics.record(stream="valid", epoch=i, mrr_rv=mrr_rv,
+                                    mrr_av=mrr_av, mrr_final=mrr)
                 flag1, flag2, should_stop = early_stop(flag1, flag2, mrr)
                 if should_stop or i == cfg.max_epoch:
                     break

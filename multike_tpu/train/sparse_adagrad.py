@@ -53,7 +53,8 @@ def init_acc(param, a0: float = ADAGRAD_ACC0):
 def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
               g_rows: jnp.ndarray, lr: float, eps: float = ADAGRAD_EPS,
               row_offset: int | jnp.ndarray = 0,
-              total_rows: int | None = None):
+              total_rows: int | None = None,
+              use_pallas: bool = False):
     """One Adagrad step on ``param`` touching only ``ids``' rows (sort-free,
     see module docstring for the scatter-dedup scheme).
 
@@ -89,6 +90,15 @@ def row_apply(param: jnp.ndarray, acc: jnp.ndarray, ids: jnp.ndarray,
     loc = jnp.where(valid, loc,
                     E + jnp.arange(ids.shape[0], dtype=ids.dtype))
     is_sorted = isinstance(row_offset, int) and row_offset == 0
+    if use_pallas:
+        # fused one-pass kernel (kernels/apply_kernel.py) — identical math,
+        # gated by Config.use_pallas_apply (dormant on the axon tunnel);
+        # non-TPU backends run it interpreted so the path stays testable
+        from multike_tpu.kernels.apply_kernel import fused_row_adagrad_pallas
+
+        return fused_row_adagrad_pallas(
+            param, acc, loc, gsum, lr, eps,
+            interpret=jax.default_backend() != "tpu")
     safe = jnp.clip(loc, 0, E - 1)          # gather clamps anyway; explicit
     new_acc_rows = (acc.at[safe].get(indices_are_sorted=is_sorted)
                     + jnp.square(gsum))

@@ -60,10 +60,12 @@ class MultiKE_SSL(MultiKETrainer):
                     i, cross_kg_attribute_inference)
 
             if i >= cfg.start_valid and i % cfg.eval_freq == 0:
-                vw.valid(self, embed_choice="rv")
-                vw.valid(self, embed_choice="av")
-                vw.valid(self, embed_choice="avg")
+                mrr_rv = vw.valid(self, embed_choice="rv")
+                mrr_av = vw.valid(self, embed_choice="av")
+                mrr_avg = vw.valid(self, embed_choice="avg")
                 vw.valid_WVA(self)
+                self.metrics.record(stream="valid", epoch=i, mrr_rv=mrr_rv,
+                                    mrr_av=mrr_av, mrr_avg=mrr_avg)
                 if i >= cfg.start_predicate_soft_alignment:
                     pam.update_predicate_alignment(self.current_embeds("rel"))
                     pam.update_predicate_alignment(self.current_embeds("attr"),

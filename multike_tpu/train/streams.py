@@ -233,7 +233,8 @@ def _make_stream_update(cfg: Config, stream: str, prep, loss_fn, pctx=None):
                         g_rows[t], lr)
                 else:
                     params[t], opt_state[t] = sparse_adagrad.row_apply(
-                        params[t], opt_state[t], ids[t], g_rows[t], lr)
+                        params[t], opt_state[t], ids[t], g_rows[t], lr,
+                        use_pallas=cfg.use_pallas_apply)
             for k in dense_names:
                 params[k], opt_state[k] = sparse_adagrad.dense_apply(
                     params[k], opt_state[k], g_dense[k], lr)

@@ -432,20 +432,28 @@ class MultiKETrainer:
     # ------------------------------------------------------------------
     # embedding access (normalized reads, like the reference's tensor reads)
     # ------------------------------------------------------------------
+    def _host(self, arr) -> np.ndarray:
+        """Host value of a device array; under a (possibly multi-process)
+        mesh this gathers tp-sharded tables first (MeshContext.to_host —
+        must be reached symmetrically on every process)."""
+        if self.pctx is not None:
+            return self.pctx.to_host(arr)
+        return np.asarray(arr)
+
     def current_embeds(self, which: str) -> np.ndarray:
         E = self.kgs.entities_num  # strips tp row padding, if any
         if which == "nv":
-            return np.asarray(self.constants["name_embeds"])[:E]
+            return self._host(self.constants["name_embeds"])[:E]
         if which == "rv":
-            return np.asarray(l2_normalize(self.params["rv_ent"], axis=1))[:E]
+            return self._host(l2_normalize(self.params["rv_ent"], axis=1))[:E]
         if which == "av":
-            return np.asarray(l2_normalize(self.params["av_ent"], axis=1))[:E]
+            return self._host(l2_normalize(self.params["av_ent"], axis=1))[:E]
         if which == "final":
-            return np.asarray(l2_normalize(self.params["ent"], axis=1))[:E]
+            return self._host(l2_normalize(self.params["ent"], axis=1))[:E]
         if which == "rel":
-            return np.asarray(l2_normalize(self.params["rel"], axis=1))
+            return self._host(l2_normalize(self.params["rel"], axis=1))
         if which == "attr":
-            return np.asarray(self.params["attr"])
+            return self._host(self.params["attr"])
         raise KeyError(which)
 
     def current_embeds_device(self, which: str) -> jnp.ndarray:
@@ -476,9 +484,19 @@ class MultiKETrainer:
     def save_checkpoint_tag(self, tag: str, epoch: int):
         from multike_tpu.persistence import save_checkpoint
 
-        if self.cfg.checkpoint_dir:
-            save_checkpoint(self.checkpoint_path(tag), self.params,
-                            self.opt_states, self.key, epoch)
+        if not self.cfg.checkpoint_dir:
+            return
+        params, opt_states, key = self.params, self.opt_states, self.key
+        if self.pctx is not None and jax.process_count() > 1:
+            # gather BEFORE the process-0 gate: to_host's all-gather of
+            # tp-sharded tables is a collective every process must join
+            params = self.pctx.to_host_tree(params)
+            opt_states = self.pctx.to_host_tree(opt_states)
+            key = self.pctx.to_host(key)
+            if jax.process_index() != 0:
+                return
+        save_checkpoint(self.checkpoint_path(tag), params, opt_states, key,
+                        epoch)
 
     def try_resume(self, tag: str) -> int:
         """Restore params/opt-states/key from a checkpoint if present;
@@ -494,6 +512,12 @@ class MultiKETrainer:
             return 0
         self.params, self.opt_states, self.key, epoch, _ = load_checkpoint(
             path, self.params, self.opt_states, self.key)
+        if self.pctx is not None:
+            # restored leaves are process-local; re-commit to the mesh
+            # (checkpoints store tp-padded rows, so specs apply directly)
+            self.params = self.pctx.shard_params(self.params)
+            self.opt_states = self.pctx.shard_stream_opt_states(
+                self.opt_states)
         self._log(f"resumed from {path} at epoch {epoch}")
         return epoch
 
@@ -503,11 +527,12 @@ class MultiKETrainer:
         folder = out_folder or generate_out_folder(
             self.cfg.output, self.cfg.training_data, "",
             self.__class__.__name__)
-        save_embeddings(folder, self.kgs,
-                        self.current_embeds("final"),
-                        self.current_embeds("nv"),
-                        self.current_embeds("rv"),
-                        self.current_embeds("av"),
-                        self.current_embeds("rel"),
-                        self.current_embeds("attr"))
+        # gather all views BEFORE the process gate (collective on tp shards)
+        embeds = {w: self.current_embeds(w)
+                  for w in ("final", "nv", "rv", "av", "rel", "attr")}
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return folder
+        save_embeddings(folder, self.kgs, embeds["final"], embeds["nv"],
+                        embeds["rv"], embeds["av"], embeds["rel"],
+                        embeds["attr"])
         return folder

@@ -86,3 +86,84 @@ def test_rank_and_align_pallas_path_matches_xla():
         rk.rank_count_pallas = orig
     assert np.array_equal(rx, rp)
     assert np.array_equal(bx, bp)
+
+
+def test_fused_row_adagrad_matches_row_apply():
+    """The fused Pallas apply (interpret mode) must equal the XLA
+    sparse_adagrad.row_apply on duplicated batch ids."""
+    from multike_tpu.kernels.apply_kernel import fused_row_adagrad_pallas
+    from multike_tpu.train import sparse_adagrad
+
+    E, d, N = 40, 8, 23
+    param = jnp.asarray(rng.randn(E, d), jnp.float32)
+    acc = sparse_adagrad.init_acc(param)
+    ids = jnp.asarray(rng.randint(0, E, N), jnp.int32)
+    g_rows = jnp.asarray(rng.randn(N, d), jnp.float32)
+    lr = 0.1
+
+    want_p, want_a = sparse_adagrad.row_apply(param, acc, ids, g_rows, lr)
+
+    # reproduce row_apply's dedup to build (loc, gsum) for the kernel
+    order = jnp.argsort(ids)
+    sid = jnp.take(ids, order)
+    sg = jnp.take(g_rows, order, axis=0)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    gsum = jnp.zeros_like(g_rows).at[seg].add(sg)
+    loc = (E + jnp.arange(N, dtype=ids.dtype)).at[seg].set(sid)
+
+    got_p, got_a = fused_row_adagrad_pallas(param, acc, loc, gsum, lr,
+                                            bl=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                               rtol=2e-6, atol=1e-7)
+
+
+def test_fused_row_adagrad_untouched_rows_identical():
+    from multike_tpu.kernels.apply_kernel import fused_row_adagrad_pallas
+    from multike_tpu.train import sparse_adagrad
+
+    E, d = 30, 4
+    param = jnp.asarray(rng.randn(E, d), jnp.float32)
+    acc = sparse_adagrad.init_acc(param)
+    loc = jnp.asarray([2, 5, 17, E + 0, E + 1], jnp.int32)  # 2 sentinels
+    gsum = jnp.asarray(rng.randn(5, d), jnp.float32)
+    got_p, got_a = fused_row_adagrad_pallas(param, acc, loc, gsum, 0.05,
+                                            bl=4, interpret=True)
+    untouched = sorted(set(range(E)) - {2, 5, 17})
+    np.testing.assert_array_equal(np.asarray(got_p)[untouched],
+                                  np.asarray(param)[untouched])
+    np.testing.assert_array_equal(np.asarray(got_a)[untouched],
+                                  np.asarray(acc)[untouched])
+
+
+def test_rel_view_epoch_with_pallas_apply_matches_default():
+    """A rel_view epoch on the row-sparse path with use_pallas_apply
+    (interpreted on CPU) must equal the XLA apply bit-for-bit-ish."""
+    from multike_tpu.config import Config
+    from multike_tpu.params import init_params
+    from multike_tpu.train import streams
+
+    E, R, n = 60, 6, 150
+    t1 = np.stack([rng.randint(0, 30, n), rng.randint(0, R, n),
+                   rng.randint(0, 30, n)], 1).astype(np.int32)
+    t2 = np.stack([rng.randint(30, 60, n), rng.randint(0, R, n),
+                   rng.randint(30, 60, n)], 1).astype(np.int32)
+    ranges = ((0, 30), (30, 60))
+
+    outs = {}
+    for pallas in (False, True):
+        cfg = Config(dim=8, batch_size=64, neg_triple_num=3,
+                     row_sparse_updates=True, use_pallas_apply=pallas,
+                     neg_rejection_tries=0)
+        params = init_params(cfg, E, R, 2)
+        opt = streams.init_stream_opt_states(cfg, params)
+        fn, _, _ = streams.build_rel_view_epoch(cfg, n, n, ranges,
+                                                with_neighbors=False)
+        p, _, _, loss = fn(params, opt["rel_view"], jax.random.PRNGKey(0),
+                           jnp.asarray(t1), jnp.asarray(t2))
+        outs[pallas] = (np.asarray(p["rv_ent"]), float(loss))
+    np.testing.assert_allclose(outs[True][0], outs[False][0],
+                               rtol=2e-6, atol=1e-7)
+    assert np.isclose(outs[True][1], outs[False][1], rtol=1e-6)
