@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--mode", choices=["ITC", "SSL"], default="ITC")
     ap.add_argument("--dim", type=int, default=75)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=5000,
+                    help="positives per step (5000 = reference parity; the "
+                         "TPU-native bench default 20000/40000 is quality-"
+                         "A/B'd with this flag, docs/EXPERIMENTS.md r4)")
     ap.add_argument("--check-band", action="store_true")
     ap.add_argument("--out", default=None,
                     help="default: QUALITY_AT_SCALE.json (ITC) / "
@@ -83,7 +87,7 @@ def main():
         f"{3*n} attr triples/KG), backend={jax.default_backend()}")
 
     cfg = Config(
-        training_data=folder, dim=ns.dim, batch_size=5000,
+        training_data=folder, dim=ns.dim, batch_size=ns.batch_size,
         entity_batch_size=5000, attribute_batch_size=5000,
         encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
         shared_learning_max_epoch=max(10, ns.epochs // 2),
@@ -111,6 +115,7 @@ def main():
         "prep_seconds": round(prep_s, 1),
         "train_seconds": round(train_s, 1),
         "seconds_per_epoch": round(train_s / ns.epochs, 2),
+        "batch_size": ns.batch_size,
         "truncated_freq": cfg.truncated_freq,
         "views": {},
     }

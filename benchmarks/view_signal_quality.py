@@ -75,7 +75,14 @@ def main():
     results = {}
     for label, knobs in (
             ("default", {}),
-            ("attr_independent_r3regime", {"attr_noise": 1.0})):
+            ("attr_independent_r3regime", {"attr_noise": 1.0,
+                                           "complementary": False}),
+            # individually-weak views: the regime where the MultiKE
+            # combination claim (final > best single view) has headroom —
+            # with complementary placement each entity's weak view is
+            # covered by its two clean views
+            ("balanced_hard", {"rel_noise": 0.3, "name_noise": 0.3,
+                               "attr_noise": 0.3})):
         folder = synthetic.generate(
             f"/tmp/viewsig_{label}/", seed=5, n_entities=n,
             n_relations=max(8, n // 100), n_attributes=max(6, n // 500),

@@ -26,10 +26,15 @@ measured word-pair collisions instead of alignment):
   r3 generator's no-signal regime (used by the A/B that diagnosed the SSL
   av collapse, docs/EXPERIMENTS.md r4).
 
-With the default noises each view is imperfect in a DIFFERENT 10-25% of
-entities, so multi-view combination has real headroom over any single view —
-the MultiKE headline property (reference MultiKE_Late.py:275-280) is
-demonstrable on this data at any scale.
+**Complementary noise placement** (``complementary=True``, default): each
+entity is deterministically assigned ONE weak view (name / relation /
+attribute, a third each) and that view's noise budget is concentrated on its
+weak third (rate 3x the knob, capped at 1). Every entity then has two clean
+views covering its one weak view — the structure real EA datasets have
+(incomplete views fail on different entities) and the regime where the
+MultiKE combination property (final > best single view, reference
+MultiKE_Late.py:275-280) is demonstrable. ``complementary=False`` spreads
+each noise uniformly over all entities (uncorrelated view errors).
 """
 from __future__ import annotations
 
@@ -66,7 +71,8 @@ def generate(folder: str,
              write_word2vec: bool = True,
              rel_noise: float = 0.2,
              attr_noise: float = 0.25,
-             name_noise: float = 0.1) -> str:
+             name_noise: float = 0.1,
+             complementary: bool = True) -> str:
     rng = random.Random(seed)
     os.makedirs(folder, exist_ok=True)
     os.makedirs(os.path.join(folder, division.strip("/")), exist_ok=True)
@@ -86,6 +92,16 @@ def generate(folder: str,
     def entity_name(i: int) -> str:
         return (f"{vocab[i % V]} {vocab[(i // V) % V]} "
                 f"{vocab[(i // (V * V)) % V]}")
+
+    # complementary placement: each entity's ONE weak view gets that view's
+    # noise at 3x rate (same total noise mass, concentrated so the other two
+    # views cover it — see module docstring)
+    weak = [rng.randrange(3) for _ in range(n_entities)]   # 0=name 1=rel 2=attr
+
+    def eff_noise(base: float, is_weak: bool) -> float:
+        if not complementary:
+            return base
+        return min(1.0, 3.0 * base) if is_weak else 0.0
 
     # ---- relation view: one underlying edge set, KG2 a rewired copy -------
     base_edges = set()
@@ -114,7 +130,8 @@ def generate(folder: str,
     def write_rel(path: str, ents: List[str], rels: List[str], flip: bool):
         with open(path, "w", encoding="utf8") as f:
             for (h, r, t) in base_edges:
-                if flip and rng.random() < rel_noise:
+                if flip and rng.random() < eff_noise(rel_noise,
+                                                     weak[h] == 1):
                     t = rng.randrange(n_entities)  # perturb
                     if t == h:
                         continue
@@ -153,7 +170,8 @@ def generate(folder: str,
                    noisy: bool):
         with open(path, "w", encoding="utf8") as f:
             for (e, a, v) in base_facts:
-                if noisy and rng.random() < attr_noise:
+                if noisy and rng.random() < eff_noise(attr_noise,
+                                                      weak[e] == 2):
                     if rng.random() < 0.5:
                         continue                      # dropped fact
                     v = make_value()                  # re-drawn value
@@ -174,7 +192,7 @@ def generate(folder: str,
               encoding="utf8") as f:
         for i, e in enumerate(ents2):
             name = entity_name(i)
-            if rng.random() < name_noise:
+            if rng.random() < eff_noise(name_noise, weak[i] == 0):
                 name = entity_name(i + 7 * n_entities + rng.randrange(
                     n_entities))
             f.write(f"{e}\t{name}\n")

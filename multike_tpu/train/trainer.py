@@ -152,6 +152,13 @@ class MultiKETrainer:
                 np.concatenate(self._host_rel_triples))
 
         self._epoch_fns: Dict = {}
+        # host-list -> device-array cache: the sup-triple / entity lists are
+        # rebuilt only on predicate refresh, but the reference-shaped driver
+        # passes the same Python lists every epoch — converting a few 100K
+        # tuples to arrays per epoch costs whole seconds of host time at
+        # scale (measured: most of the 26 s/epoch of the r4 20K TPU probe).
+        # Keyed on list identity: a refresh builds NEW lists, invalidating.
+        self._dev_arr_cache: Dict = {}
         from multike_tpu.utils.metrics import MetricsLog
 
         self.metrics = MetricsLog(cfg.metrics_log_path or None)
@@ -236,6 +243,28 @@ class MultiKETrainer:
         return self._epoch_fns[key]
 
 
+    def _cached_array(self, tag: str, seq):
+        """Device int32 array of a triple/id list, cached on list identity."""
+        hit = self._dev_arr_cache.get(tag)
+        if hit is not None and hit[0] is seq:
+            return hit[1]
+        arr = jnp.asarray(np.asarray(list(seq), np.int32))
+        self._dev_arr_cache[tag] = (seq, arr)
+        return arr
+
+    def _cached_weighted(self, tag: str, seq, cap: int):
+        """Device (ids(cap,3) int32, weights(cap,) f32) of a weighted
+        4-tuple list, wrap-padded to ``cap``; cached on list identity."""
+        hit = self._dev_arr_cache.get(tag)
+        if hit is not None and hit[0] is seq and hit[1] == cap:
+            return hit[2]
+        ids = np.asarray([(h, r, t) for (h, r, t, _) in seq], np.int32)
+        ws = np.asarray([w for (_, _, _, w) in seq], np.float32)
+        out = (jnp.asarray(self._pad_wrap(ids, cap)),
+               jnp.asarray(self._pad_wrap(ws, cap)))
+        self._dev_arr_cache[tag] = (seq, cap, out)
+        return out
+
     def _finish_epoch(self, stream, epoch, loss_sum, trained, start, msg):
         seconds = time.time() - start
         loss = float(loss_sum) / max(trained, 1)
@@ -311,7 +340,7 @@ class MultiKETrainer:
         if len(sup_triples) == 0:
             return 0.0
         start = time.time()
-        arr = jnp.asarray(np.asarray(list(sup_triples), np.int32))
+        arr = self._cached_array("ckge_rel", sup_triples)
         epoch_fn, steps, trained = self._get_epoch_fn("ckge_rel", len(sup_triples))
         self.params, self.opt_states["ckge_rel"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckge_rel"], self.key, arr)
@@ -324,16 +353,13 @@ class MultiKETrainer:
         if len(sup_triples) == 0:
             return 0.0
         start = time.time()
-        ids = np.asarray([(h, r, t) for (h, r, t, _) in sup_triples], np.int32)
-        ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
         n = len(sup_triples)
         cap = self._bucket_capacity(n)
         true_steps = max(1, int(np.ceil(n / self.cfg.batch_size)))
         epoch_fn, steps, trained = self._get_epoch_fn("ckgp_rel", cap, true_steps)
+        ids_d, ws_d = self._cached_weighted("ckgp_rel", sup_triples, cap)
         self.params, self.opt_states["ckgp_rel"], self.key, loss = epoch_fn(
-            self.params, self.opt_states["ckgp_rel"], self.key,
-            jnp.asarray(self._pad_wrap(ids, cap)),
-            jnp.asarray(self._pad_wrap(ws, cap)))
+            self.params, self.opt_states["ckgp_rel"], self.key, ids_d, ws_d)
         return self._finish_epoch(
             "ckgp_rel", epoch, loss, trained, start,
             "epoch {} of cross-kg relation inference in rel. view, avg. "
@@ -344,7 +370,7 @@ class MultiKETrainer:
         if len(sup_triples) == 0:
             return 0.0
         start = time.time()
-        arr = jnp.asarray(np.asarray(list(sup_triples), np.int32))
+        arr = self._cached_array("ckge_attr", sup_triples)
         epoch_fn, steps, trained = self._get_epoch_fn("ckge_attr", len(sup_triples))
         self.params, self.opt_states["ckge_attr"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckge_attr"], self.key,
@@ -358,16 +384,14 @@ class MultiKETrainer:
         if len(sup_triples) == 0:
             return 0.0
         start = time.time()
-        ids = np.asarray([(h, a, v) for (h, a, v, _) in sup_triples], np.int32)
-        ws = np.asarray([w for (_, _, _, w) in sup_triples], np.float32)
         n = len(sup_triples)
         cap = self._bucket_capacity(n)
         true_steps = max(1, int(np.ceil(n / self.cfg.attribute_batch_size)))
         epoch_fn, steps, trained = self._get_epoch_fn("ckga_attr", cap, true_steps)
+        ids_d, ws_d = self._cached_weighted("ckga_attr", sup_triples, cap)
         self.params, self.opt_states["ckga_attr"], self.key, loss = epoch_fn(
             self.params, self.opt_states["ckga_attr"], self.key,
-            self.constants, jnp.asarray(self._pad_wrap(ids, cap)),
-            jnp.asarray(self._pad_wrap(ws, cap)))
+            self.constants, ids_d, ws_d)
         return self._finish_epoch(
             "ckga_attr", epoch, loss, trained, start,
             "epoch {} of cross-kg attribute inference in attr. view, avg."
@@ -378,7 +402,7 @@ class MultiKETrainer:
     # ------------------------------------------------------------------
     def train_common_space_learning_1epo(self, epoch: int, entities: Sequence[int]):
         start = time.time()
-        arr = jnp.asarray(np.asarray(list(entities), np.int32))
+        arr = self._cached_array("common_space_ents", entities)
         epoch_fn, steps, trained = self._get_epoch_fn("common_space", len(entities))
         self.params, self.opt_states["common_space"], self.key, loss = epoch_fn(
             self.params, self.opt_states["common_space"], self.key,
@@ -390,7 +414,7 @@ class MultiKETrainer:
 
     def train_shared_space_mapping_1epo(self, epoch: int, entities: Sequence[int]):
         start = time.time()
-        arr = jnp.asarray(np.asarray(list(entities), np.int32))
+        arr = self._cached_array("space_mapping_ents", entities)
         epoch_fn, steps, trained = self._get_epoch_fn("space_mapping", len(entities))
         self.params, self.opt_states["space_mapping"], self.key, loss = epoch_fn(
             self.params, self.opt_states["space_mapping"], self.key,
