@@ -24,9 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+if "--cpu" in sys.argv:
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 
 def log(*a):
@@ -38,6 +39,9 @@ def main():
     ap.add_argument("--entities", type=int, default=20_000)
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--dim", type=int, default=75)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host backend (default: the TPU chip "
+                         "when JAX_PLATFORMS=axon)")
     ap.add_argument("--out", default=None)
     ns = ap.parse_args()
 
