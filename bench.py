@@ -257,12 +257,13 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--baseline-steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None,
-                    help="positives per step (default 20000: the TPU-native "
+                    help="positives per step (default 40000: the TPU-native "
                          "batch — amortizes the flat optimizer apply over "
-                         "4x the triples of the reference's batch 5000 "
-                         "(args.json:21); quality A/B'd at equal epochs in "
-                         "docs/EXPERIMENTS.md r4. Pass 5000 for "
-                         "reference-parity batching)")
+                         "8x the triples of the reference's batch 5000 "
+                         "(args.json:21); quality-neutral at equal epochs "
+                         "even at 20K entities where it means only 6 "
+                         "steps/epoch — docs/EXPERIMENTS.md r4. Pass 5000 "
+                         "for reference-parity batching)")
     ns = ap.parse_args()
 
     from multike_tpu.config import Config
@@ -279,7 +280,7 @@ def main():
         n_tri, n_rel = 6 * n_ent, 500
         epochs = ns.epochs or 5
         base_steps = ns.baseline_steps or 20
-        cfg = Config(dim=75, batch_size=ns.batch or 20_000,
+        cfg = Config(dim=75, batch_size=ns.batch or 40_000,
                      neg_triple_num=10)
 
     rng = np.random.RandomState(7)

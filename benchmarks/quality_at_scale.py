@@ -28,11 +28,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Regression band (floors, not targets: a run under these is a quality
-# regression). Set from the recorded 50K-entity/50-epoch round-3 run
-# (QUALITY_AT_SCALE.json: rv 0.9902, final 0.9278): floors leave room for
-# seed/scheme variance. The frozen nv view is excluded — at 50K entities it
-# measures the synthetic generator's name-collision rate, not training.
-BAND = {"rv": 0.95, "final": 0.85}
+# regression). Set observed-minus-noise from the recorded 50K-entity/
+# 50-epoch round-4 run on the complementary-noise generator
+# (QUALITY_AT_SCALE.json: rv 0.977, final 0.8999, av 0.6168, TPU,
+# 5.53 s/epoch). The frozen nv view is excluded — it measures the
+# generator's name_noise, not training.
+BAND = {"rv": 0.95, "final": 0.86, "av": 0.55}
 
 
 def log(*a):
@@ -51,6 +52,14 @@ def main():
                          "TPU-native bench default 20000/40000 is quality-"
                          "A/B'd with this flag, docs/EXPERIMENTS.md r4)")
     ap.add_argument("--check-band", action="store_true")
+    ap.add_argument("--rel-noise", type=float, default=None,
+                    help="generator rel_noise override (the combination-"
+                         "property demo raises it so the relation view is "
+                         "comparably imperfect to nv/av)")
+    ap.add_argument("--name-noise", type=float, default=None,
+                    help="generator name_noise override")
+    ap.add_argument("--folder-tag", default="",
+                    help="suffix for the dataset folder (overrides reuse)")
     ap.add_argument("--out", default=None,
                     help="default: QUALITY_AT_SCALE.json (ITC) / "
                          "QUALITY_AT_SCALE_SSL.json at the repo root")
@@ -79,10 +88,15 @@ def main():
         from multike_tpu.train.itc import MultiKE_ITC as Model
 
     n = ns.entities
+    knobs = {}
+    if ns.rel_noise is not None:
+        knobs["rel_noise"] = ns.rel_noise
+    if ns.name_noise is not None:
+        knobs["name_noise"] = ns.name_noise
     folder = synthetic.generate(
-        f"/tmp/qscale_{n}/", seed=11, n_entities=n,
+        f"/tmp/qscale_{n}{ns.folder_tag}/", seed=11, n_entities=n,
         n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
-        n_rel_triples=6 * n, n_attr_triples=3 * n)
+        n_rel_triples=6 * n, n_attr_triples=3 * n, **knobs)
     log(f"dataset generated at {folder} ({n} entities/KG, {6*n} rel + "
         f"{3*n} attr triples/KG), backend={jax.default_backend()}")
 

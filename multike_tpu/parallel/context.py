@@ -153,7 +153,10 @@ class MeshContext:
         if jax.process_count() <= 1:
             # single process: replicated (tiny arrays; GSPMD slices batches)
             return self._put(np.asarray(triples), P()), n
-        rows = dist.padded_rows_per_process(n)
+        # rows must tile evenly over the 'dp' DEVICE axis (not just over
+        # processes): P('dp') sharding requires rows % dp == 0
+        m = np.lcm(self.dp, jax.process_count())
+        rows = int(-(-n // m) * m)
         if rows > n:  # wraparound padding: duplicates of leading rows
             triples = np.concatenate([triples, triples[:rows - n]])
         local = np.ascontiguousarray(triples[dist.local_data_slice(rows)])

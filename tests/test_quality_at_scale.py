@@ -32,8 +32,11 @@ def test_quality_band_at_scale(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(out.read_text())
     views = res["views"]
-    # floors from the recorded 20K/25-epoch validation run (rv 0.9906,
-    # final 0.9531 with the shipped truncated chunk_shared scheme —
-    # docs/EXPERIMENTS.md), with variance headroom
+    # observed-minus-noise floors (VERDICT r3 weak 3: 15 points of headroom
+    # made the old band decorative) from the recorded r4 20K/25-epoch runs
+    # on the complementary-noise generator: rv 0.9817-0.9850,
+    # final 0.9045-0.9055, av 0.6343-0.6628 across the batch-size A/B
+    # (docs/EXPERIMENTS.md r4)
     assert views["rv"]["test_mrr"] >= 0.95, views
-    assert views["final"]["test_mrr"] >= 0.80, views
+    assert views["final"]["test_mrr"] >= 0.86, views
+    assert views["av"]["test_mrr"] >= 0.55, views
