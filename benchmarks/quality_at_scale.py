@@ -133,9 +133,12 @@ def main():
         "truncated_freq": cfg.truncated_freq,
         "views": {},
     }
-    for choice in ("rv", "final", "av", "nv"):
+    views = ("rv", "final", "av", "nv") if ns.mode == "ITC" else \
+        ("rv", "final", "av", "nv", "avg", "wva")
+    for choice in views:
         t0 = time.time()
-        mrr = float(vw.test(model, embed_choice=choice))
+        mrr = float(vw.test_WVA(model)) if choice == "wva" \
+            else float(vw.test(model, embed_choice=choice))
         out["views"][choice] = {
             "test_mrr": round(mrr, 4),
             "eval_seconds": round(time.time() - t0, 2),

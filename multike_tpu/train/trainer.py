@@ -266,8 +266,10 @@ class MultiKETrainer:
         return out
 
     def _finish_epoch(self, stream, epoch, loss_sum, trained, start, msg):
-        seconds = time.time() - start
+        # float() first: dispatch is async (esp. on TPU) — reading the loss
+        # forces the epoch to finish, so `seconds` measures real work
         loss = float(loss_sum) / max(trained, 1)
+        seconds = time.time() - start
         self.metrics.record(stream=stream, epoch=epoch, loss=loss,
                             seconds=seconds, trained=trained,
                             triples_per_s=(trained / seconds) if seconds > 0 else None)
