@@ -279,9 +279,12 @@ def main():
         n_ent = ns.entities or 100_000
         n_tri, n_rel = 6 * n_ent, 500
         epochs = ns.epochs or 5
-        base_steps = ns.baseline_steps or 20
         cfg = Config(dim=75, batch_size=ns.batch or 40_000,
                      neg_triple_num=10)
+        # keep the torch-CPU baseline's wall time ~constant across batch
+        # sizes (its triples/s is per-second, so fewer big steps measure
+        # the same thing)
+        base_steps = ns.baseline_steps or max(3, 20 * 5000 // cfg.batch_size)
 
     rng = np.random.RandomState(7)
     triples1 = synthetic_triples(rng, n_tri, 0, n_ent, n_rel, 0)

@@ -58,6 +58,10 @@ def main():
                          "comparably imperfect to nv/av)")
     ap.add_argument("--name-noise", type=float, default=None,
                     help="generator name_noise override")
+    ap.add_argument("--rel-triples-mult", type=int, default=6,
+                    help="relation triples per entity (6 = DWY100K-shaped; "
+                         "2 gives a sparse graph whose relation view lands "
+                         "in the paper's ~0.6-0.8 band)")
     ap.add_argument("--folder-tag", default="",
                     help="suffix for the dataset folder (overrides reuse)")
     ap.add_argument("--out", default=None,
@@ -96,9 +100,11 @@ def main():
     folder = synthetic.generate(
         f"/tmp/qscale_{n}{ns.folder_tag}/", seed=11, n_entities=n,
         n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
-        n_rel_triples=6 * n, n_attr_triples=3 * n, **knobs)
-    log(f"dataset generated at {folder} ({n} entities/KG, {6*n} rel + "
-        f"{3*n} attr triples/KG), backend={jax.default_backend()}")
+        n_rel_triples=ns.rel_triples_mult * n, n_attr_triples=3 * n,
+        **knobs)
+    log(f"dataset generated at {folder} ({n} entities/KG, "
+        f"{ns.rel_triples_mult*n} rel + {3*n} attr triples/KG), "
+        f"backend={jax.default_backend()}")
 
     cfg = Config(
         training_data=folder, dim=ns.dim, batch_size=ns.batch_size,

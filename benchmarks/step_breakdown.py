@@ -38,6 +38,7 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=5000)
     ap.add_argument("--n-ent", type=int, default=50_000, help="entities per KG")
     ap.add_argument("--truncated", action="store_true",
                     help="per_slot + neighbor tables (post-refresh phase)")
@@ -72,7 +73,7 @@ def main():
     from multike_tpu.train import sparse_adagrad
     from multike_tpu.train.streams import _chunk_layout, proportional_sizes
 
-    cfg = Config(dim=75, batch_size=5000, neg_triple_num=10)
+    cfg = Config(dim=75, batch_size=ns.batch, neg_triple_num=10)
     n_ent = ns.n_ent
     E = 2 * n_ent
     n_tri = 6 * n_ent

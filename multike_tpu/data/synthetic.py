@@ -128,13 +128,28 @@ def generate(folder: str,
     base_edges = sorted(base_edges)
 
     def write_rel(path: str, ents: List[str], rels: List[str], flip: bool):
+        edges = []
+        for (h, r, t) in base_edges:
+            if flip and rng.random() < eff_noise(rel_noise, weak[h] == 1):
+                t = rng.randrange(n_entities)  # perturb
+                if t == h:
+                    continue
+            edges.append((h, r, t))
+        # coverage must hold AFTER noise: rewiring can drop an entity's
+        # only edge or redirect its only tail appearance, and the id scheme
+        # requires every entity to appear in its KG's relation triples
+        covered = set()
+        for (h, _, t) in edges:
+            covered.add(h)
+            covered.add(t)
+        for e in range(n_entities):
+            if e not in covered:
+                t = rng.randrange(n_entities)
+                while t == e:
+                    t = rng.randrange(n_entities)
+                edges.append((e, rng.randrange(n_relations), t))
         with open(path, "w", encoding="utf8") as f:
-            for (h, r, t) in base_edges:
-                if flip and rng.random() < eff_noise(rel_noise,
-                                                     weak[h] == 1):
-                    t = rng.randrange(n_entities)  # perturb
-                    if t == h:
-                        continue
+            for (h, r, t) in edges:
                 f.write(f"{ents[h]}\t{rels[r]}\t{ents[t]}\n")
 
     write_rel(os.path.join(folder, "rel_triples_1"), ents1, rels1, flip=False)
