@@ -272,7 +272,7 @@ def main():
         n_ent, n_tri, n_rel = 2_000, 10_000, 50
         epochs = ns.epochs or 3
         base_steps = ns.baseline_steps or 5
-        cfg = Config(dim=75, batch_size=1000, neg_triple_num=10)
+        cfg = Config(dim=75, batch_size=ns.batch or 1000, neg_triple_num=10)
     else:
         # True DWY100K size: ~100K entities and ~600K triples per KG side
         # (reference README.md:4-22).

@@ -78,7 +78,7 @@ def main():
 
     model = MultiKE_ITC(cfg, data, pam, verbose=True)
     t0 = time.time()
-    model.run()
+    run_results = model.run()      # includes the final 4-view test sweep
     train_s = time.time() - t0
 
     valid_traj = [{k: r[k] for k in
@@ -103,7 +103,7 @@ def main():
         "views": {},
     }
     for choice in ("nv", "rv", "av", "final"):
-        mrr = float(vw.test(model, embed_choice=choice))
+        mrr = float(run_results[choice])
         out["views"][choice] = round(mrr, 4)
         log(f"view {choice}: test MRR {mrr:.4f}")
     path = ns.out or os.path.join(

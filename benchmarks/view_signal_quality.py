@@ -58,7 +58,9 @@ def run(folder: str, epochs: int, mode: str):
     views = ("nv", "rv", "av", "final") if mode == "ITC" else \
             ("nv", "rv", "av", "avg", "wva", "final")
     for choice in views:
-        out[choice] = round(float(vw.test(model, embed_choice=choice)), 4)
+        mrr = vw.test_WVA(model) if choice == "wva" \
+            else vw.test(model, embed_choice=choice)
+        out[choice] = round(float(mrr), 4)
     return out
 
 

@@ -44,6 +44,11 @@ class MeshContext:
         self.mesh = mesh
         self.dp = mesh.shape.get("dp", 1)
         self.tp = mesh.shape.get("tp", 1)
+        # one jitted replicate-gather per context: jit caches on the
+        # function object, so a fresh lambda per to_host call would
+        # re-trace the all-gather for every leaf of every checkpoint/eval
+        self._gather_to_replicated = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -135,8 +140,7 @@ class MeshContext:
         if arr.is_fully_addressable:
             return np.asarray(arr)
         if not arr.is_fully_replicated:
-            arr = jax.jit(lambda x: x, out_shardings=NamedSharding(
-                self.mesh, P()))(arr)
+            arr = self._gather_to_replicated(arr)
         return np.asarray(arr.addressable_data(0))
 
     def to_host_tree(self, tree):

@@ -25,7 +25,8 @@ class MultiKE_ITC(MultiKETrainer):
         try:
             return self._run()
         except BaseException:
-            if self.cfg.checkpoint_dir:
+            if self.cfg.checkpoint_dir and \
+                    not self.checkpoint_needs_collective():
                 self.save_checkpoint_tag("itc_interrupt", -1)
                 self._log("interrupted: wrote itc_interrupt checkpoint")
             raise

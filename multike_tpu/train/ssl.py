@@ -19,7 +19,8 @@ class MultiKE_SSL(MultiKETrainer):
         try:
             return self._run()
         except BaseException:
-            if self.cfg.checkpoint_dir:
+            if self.cfg.checkpoint_dir and \
+                    not self.checkpoint_needs_collective():
                 self.save_checkpoint_tag("ssl_interrupt", -1)
                 self._log("interrupted: wrote ssl_interrupt checkpoint")
             raise

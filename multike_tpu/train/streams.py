@@ -197,6 +197,14 @@ def _make_stream_update(cfg: Config, stream: str, prep, loss_fn, pctx=None):
         assert cfg.optimizer == "Adagrad" and \
             cfg.row_sparse_updates not in (False, "off", "false"), \
             "mesh training runs on the row-sparse Adagrad path"
+        if cfg.use_pallas_apply:
+            import logging
+
+            logging.getLogger("multike_tpu").warning(
+                "use_pallas_apply is a single-device-path optimization; "
+                "the mesh apply (row_apply_sharded) uses the XLA row "
+                "apply — the fused kernel does not yet run inside "
+                "shard_map")
 
     def update(params, opt_state, *batch):
         ids, aux = prep(*batch)

@@ -507,6 +507,15 @@ class MultiKETrainer:
 
         return os.path.join(self.cfg.checkpoint_dir, f"{tag}.npz")
 
+    def checkpoint_needs_collective(self) -> bool:
+        """True when writing a checkpoint requires a cross-process
+        collective (tp-sharded tables must be all-gathered). Interrupt
+        handlers must NOT attempt such a save: only the raising process
+        would enter the gather while its peers sit in the epoch loop —
+        a deadlock instead of an exit (itc/ssl run() guards on this)."""
+        return (self.pctx is not None and jax.process_count() > 1
+                and self.pctx.tp > 1)
+
     def save_checkpoint_tag(self, tag: str, epoch: int):
         from multike_tpu.persistence import save_checkpoint
 
@@ -534,7 +543,23 @@ class MultiKETrainer:
         if not self.cfg.checkpoint_dir:
             return 0
         path = self.checkpoint_path(tag)
-        if not os.path.exists(path):
+        exists = os.path.exists(path)
+        if jax.process_count() > 1:
+            # checkpoints are written by process 0 only: checkpoint_dir
+            # must be a filesystem every process can read. Detect the
+            # non-shared case loudly — silently resuming on some processes
+            # and not others would desynchronize the epoch loops and hang
+            # the next collective.
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([1 if exists else 0], np.int32))
+            if int(flags.min()) != int(flags.max()):
+                raise RuntimeError(
+                    f"checkpoint {path} visible on some processes but not "
+                    "others — cfg.checkpoint_dir must be on a shared "
+                    "filesystem in multi-process runs")
+        if not exists:
             return 0
         self.params, self.opt_states, self.key, epoch, _ = load_checkpoint(
             path, self.params, self.opt_states, self.key)
