@@ -149,6 +149,11 @@ class Config:
     # --- evaluation cadence (args.json:33-37) ---
     start_valid: int = 100
     eval_freq: int = 10
+    # Which validation metric the ITC early-stop rule watches when
+    # ``enable_early_stop`` is on: 'mrr' or 'hits1'. Kept for args.json
+    # compatibility (args.json:35); the reference defines the two-step
+    # decline rule but never triggers it (MultiKE_CSL.py:77-78 checks an
+    # always-False flag), so the gate below defaults off.
     stop_metric: str = "mrr"
     top_k: List[int] = dataclasses.field(default_factory=lambda: [1, 5, 10, 50])
     is_save: bool = True
@@ -170,6 +175,11 @@ class Config:
     # ------------------------------------------------------------------
     # TPU-native knobs (new in this framework)
     # ------------------------------------------------------------------
+    # Apply the two-step ``stop_metric``-decline early-stop rule in the ITC
+    # driver (eval/evaluation.early_stop). Off by default = reference parity:
+    # MultiKE_CSL.py:77-78 evaluates the rule against an always-False flag,
+    # so the reference always trains to max_epoch.
+    enable_early_stop: bool = False
     # Mesh axes: data-parallel x table(model)-parallel. Product must divide
     # (or equal) the number of participating devices.
     mesh_dp: int = 1

@@ -241,8 +241,9 @@ def generate(folder: str,
                 f.write(f"{ents1[i]}\t{ents2[i]}\n")
 
     if write_word2vec:
-        # Names may index up to 8*n_entities past the base range (noise
-        # replacements), but those still decompose into the same V words.
+        # Names may index up to 9*n_entities - 1 (noise replacements draw
+        # entity_name(i + 7*n_entities + randrange(n_entities))), but those
+        # still decompose into the same V words.
         vec_path = os.path.join(folder, "mini_word2vec.vec")
         nprng = np.random.RandomState(seed)
         vec_vocab = sorted(set(vocab) | {"relation", "attribute"})

@@ -204,7 +204,8 @@ def greedy_alignment(embed1, embed2, top_k: Sequence[int], nums_threads: int,
     if metric == "cosine":
         normalize = True  # cosine == normalized inner product
     elif metric != "inner":
-        # euclidean/manhattan/cdist route through the host sim matrix +
+        # any non-inner metric (euclidean/manhattan/scipy cdist names such
+        # as 'chebyshev') routes through the host sim matrix +
         # calculate_rank oracle (reference base/similarity.py:36-52 serves
         # these; the device engine is inner-product-shaped). O(n1*n2) host
         # memory — fine at valid-set sizes, use inner/cosine for full-KG

@@ -30,8 +30,11 @@ def test(embeds1, embeds2, mapping, top_k, threads_num, metric: str = "inner",
 
 def early_stop(flag1, flag2, flag):
     """Two-step metric-decline rule (base/evaluation.py:28-33). NB the
-    reference defines but never wires this (MultiKE_Late.py:180-182); our
-    drivers expose it behind ``Config.stop_metric`` the same way."""
+    reference defines but never arms this (MultiKE_CSL.py:77-78 checks an
+    always-False flag). The ITC driver applies it only when
+    ``Config.enable_early_stop`` is set, watching ``Config.stop_metric``
+    ('mrr' or 'hits1'); default off = reference parity (train to
+    max_epoch)."""
     if flag <= flag2 <= flag1:
         print("\n == should early stop == \n")
         return flag2, flag, True

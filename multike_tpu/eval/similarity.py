@@ -42,7 +42,12 @@ def sim(embed1, embed2, metric: str = "inner", normalize: bool = False,
         for i in range(len(embed1)):
             mat[i] = 1.0 - np.abs(embed1[i][None, :] - embed2).sum(axis=1)
     else:
-        raise ValueError(f"unknown metric {metric!r}")
+        # reference parity: base/similarity.py:36-52 serves any remaining
+        # metric name through scipy's cdist as 1 - distance (e.g.
+        # 'chebyshev', 'cityblock'); scipy raises for truly unknown names
+        from scipy.spatial.distance import cdist
+
+        mat = (1.0 - cdist(embed1, embed2, metric=metric)).astype(np.float32)
     if csls_k > 0:
         mat = csls_sim(mat, csls_k)
     return mat

@@ -74,7 +74,11 @@ def _engine_kw(trainer):
     )
 
 
-def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
+def valid_metrics(trainer, embed_choice: str = "avg",
+                  w=(1, 1, 1)) -> Tuple[float, float]:
+    """(hits@1, mrr) on the validation split — one ranking pass; the ITC
+    early-stop gate reads whichever of the two ``Config.stop_metric``
+    selects (MultiKE_Late.py:14-38 returns the same pair)."""
     ent_embeds = _choose_embeds(trainer, embed_choice, w)
     kgs = trainer.kgs
     if trainer.verbose:
@@ -82,10 +86,14 @@ def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
     embeds1 = ent_embeds[np.asarray(kgs.valid_entities1, np.int32)]
     embeds2 = ent_embeds[np.asarray(
         kgs.valid_entities2 + kgs.test_entities2, np.int32)]
-    _, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
-                          trainer.cfg.test_threads_num, normalize=True,
-                          **_engine_kw(trainer))
-    return mrr_12
+    hits1_12, mrr_12 = eva.valid(embeds1, embeds2, None, trainer.cfg.top_k,
+                                 trainer.cfg.test_threads_num, normalize=True,
+                                 **_engine_kw(trainer))
+    return hits1_12, mrr_12
+
+
+def valid(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:
+    return valid_metrics(trainer, embed_choice, w)[1]
 
 
 def test(trainer, embed_choice: str = "avg", w=(1, 1, 1)) -> float:

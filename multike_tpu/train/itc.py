@@ -6,7 +6,10 @@ inference after epoch 10), attribute view + cross-KG attr entity inference
 epochs from ``start_valid``; predicate-alignment refresh every 10 epochs from
 ``start_predicate_soft_alignment``; truncated-neighbor refresh every
 ``truncated_freq`` epochs. Note the reference nests the early-stop check
-inside the eval-cadence branch (MultiKE_CSL.py:72-78) — kept.
+inside the eval-cadence branch (MultiKE_CSL.py:72-78) — kept, but armed
+only when ``Config.enable_early_stop`` is set (the reference's own check
+compares against an always-False flag, so it trains to max_epoch; that is
+our default too).
 """
 from __future__ import annotations
 
@@ -71,12 +74,17 @@ class MultiKE_ITC(MultiKETrainer):
             if i >= cfg.start_valid and i % cfg.eval_freq == 0:
                 mrr_rv = vw.valid(self, embed_choice="rv")
                 mrr_av = vw.valid(self, embed_choice="av")
-                mrr = vw.valid(self, embed_choice="final")
+                hits1, mrr = vw.valid_metrics(self, embed_choice="final")
                 # per-epoch eval trajectory in the metrics jsonl (the
                 # long-schedule artifact reads it back; SURVEY.md §5)
                 self.metrics.record(stream="valid", epoch=i, mrr_rv=mrr_rv,
                                     mrr_av=mrr_av, mrr_final=mrr)
-                flag1, flag2, should_stop = early_stop(flag1, flag2, mrr)
+                if cfg.enable_early_stop:
+                    # two-step decline of cfg.stop_metric; the reference
+                    # defines but never arms this rule (MultiKE_CSL.py:77-78)
+                    watched = mrr if cfg.stop_metric == "mrr" else hits1
+                    flag1, flag2, should_stop = early_stop(
+                        flag1, flag2, watched)
                 if should_stop or i == cfg.max_epoch:
                     break
 

@@ -316,7 +316,14 @@ def _padded_epoch_indices(key, n: int, bs: int, bsp: int, steps: int):
     """Shuffled wraparound index matrix (steps, bsp) + float mask. Real slots
     j < bs follow the reference's sequential epoch slicing (global position
     i*bs+j, tail masked, base/batch.py:45-54); slots j >= bs are chunk
-    padding, always masked."""
+    padding, always masked.
+
+    Invariant relied on downstream: within every row the mask is
+    NONINCREASING (1s then 0s), so after reshaping a row into chunks the
+    invalid slots form a contiguous suffix of each chunk —
+    sampling.sample_shared_neighbor_corruptions draws donor indices from
+    [0, real_rows) per chunk and would silently sample wrong slots if a
+    caller ever fed it an interleaved mask."""
     perm = jax.random.permutation(key, n)
     posg = jnp.arange(steps * bs)
     idx = perm[posg % n].reshape(steps, bs)

@@ -244,25 +244,34 @@ class MultiKETrainer:
 
 
     def _cached_array(self, tag: str, seq):
-        """Device int32 array of a triple/id list, cached on list identity."""
+        """Device int32 array of a triple/id list, cached on list identity.
+
+        Contract: callers must never mutate a cached list in place — replace
+        it with a NEW list (the ITC/SSL drivers rebuild the sup/inference
+        lists on every predicate refresh, itc.py:87-92). The len() check is a
+        cheap staleness tripwire for the append case; same-length in-place
+        edits are undetectable by design."""
         hit = self._dev_arr_cache.get(tag)
-        if hit is not None and hit[0] is seq:
-            return hit[1]
+        if hit is not None and hit[0] is seq and hit[1] == len(seq):
+            return hit[2]
         arr = jnp.asarray(np.asarray(list(seq), np.int32))
-        self._dev_arr_cache[tag] = (seq, arr)
+        self._dev_arr_cache[tag] = (seq, len(seq), arr)
         return arr
 
     def _cached_weighted(self, tag: str, seq, cap: int):
         """Device (ids(cap,3) int32, weights(cap,) f32) of a weighted
-        4-tuple list, wrap-padded to ``cap``; cached on list identity."""
+        4-tuple list, wrap-padded to ``cap``; cached on list identity
+        (same no-in-place-mutation contract + len tripwire as
+        ``_cached_array``)."""
         hit = self._dev_arr_cache.get(tag)
-        if hit is not None and hit[0] is seq and hit[1] == cap:
-            return hit[2]
+        if hit is not None and hit[0] is seq and hit[1] == cap \
+                and hit[2] == len(seq):
+            return hit[3]
         ids = np.asarray([(h, r, t) for (h, r, t, _) in seq], np.int32)
         ws = np.asarray([w for (_, _, _, w) in seq], np.float32)
         out = (jnp.asarray(self._pad_wrap(ids, cap)),
                jnp.asarray(self._pad_wrap(ws, cap)))
-        self._dev_arr_cache[tag] = (seq, cap, out)
+        self._dev_arr_cache[tag] = (seq, cap, len(seq), out)
         return out
 
     def _finish_epoch(self, stream, epoch, loss_sum, trained, start, msg):

@@ -100,6 +100,13 @@ def test_sim_metrics():
     from scipy.spatial.distance import cdist
 
     assert np.allclose(s_euc, 1 - cdist(e1, e2), atol=1e-4)
+    # generic-metric fallback: any scipy cdist name works, 1 - distance
+    # (reference base/similarity.py:36-52 parity)
+    s_cheb = sim(e1, e2, "chebyshev")
+    assert np.allclose(s_cheb, 1 - cdist(e1, e2, metric="chebyshev"),
+                       atol=1e-5)
+    with pytest.raises(ValueError):
+        sim(e1, e2, "not_a_metric")
 
 
 def test_csls_sim_matches_reference_formula():
