@@ -56,7 +56,7 @@ def main():
         for path in ns.paths.split(","):
             cfg = Config(dim=75, batch_size=bs, neg_triple_num=10,
                          row_sparse_updates=path)
-            tps, fps = bench.bench_jax(cfg, triples1, triples2, ranges,
+            tps, fps, _ = bench.bench_jax(cfg, triples1, triples2, ranges,
                                        ns.epochs, truncated=ns.truncated)
             row = {"batch_size": bs, "row_sparse_updates": path,
                    "truncated": ns.truncated,

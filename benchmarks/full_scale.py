@@ -1,0 +1,170 @@
+"""Complete ITC driver at true DWY100K scale on the chip (VERDICT r4 item 1).
+
+The headline bench (bench.py) measures the relation-view stream alone; this
+runs the FULL driver — all 8 streams, predicate soft-alignment refreshes,
+truncated-neighbor refreshes, eval on cadence — at 100K entities / 600K rel
++ 300K attr triples PER KG (the DWY100K shape, reference README.md:4-22)
+for >= 25 epochs, and records what a complete epoch actually costs
+end-to-end (host per-epoch work included; timers are the post-r4 fixed
+ones):
+
+  * end-to-end s/epoch (train wall / epochs) and total train seconds,
+  * per-stream mean seconds + triples/s from the metrics jsonl (compile
+    epochs excluded per stream via the 5x-median rule),
+  * the trainer's HBM footprint estimate,
+  * per-view test MRRs, checked against the recorded 50K-run band
+    (benchmarks/quality_at_scale.BAND).
+
+Writes FULL_SCALE_r05.json at the repo root; exits 1 on a band violation.
+
+Usage: python benchmarks/full_scale.py [--entities 100000] [--epochs 25]
+           [--batch-size 40000] [--cpu]
+Reference driver shape: MultiKE_CSL.py:36-107.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from quality_at_scale import BAND  # noqa: E402  (same floors, 50K-calibrated)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+STREAMS = ("rel_view", "attr_view", "ckge_rel", "ckgp_rel", "ckge_attr",
+           "ckga_attr", "common_space")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--entities", type=int, default=100_000)
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--dim", type=int, default=75)
+    ap.add_argument("--batch-size", type=int, default=40_000)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None)
+    ns = ap.parse_args()
+
+    import jax
+
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.config import Config
+    from multike_tpu.data import synthetic
+    from multike_tpu.data.dataset import DataModel
+    from multike_tpu.eval import views as vw
+    from multike_tpu.train.itc import MultiKE_ITC
+
+    n = ns.entities
+    folder = synthetic.generate(
+        f"/tmp/fullscale_{n}/", seed=11, n_entities=n,
+        n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
+        n_rel_triples=6 * n, n_attr_triples=3 * n)
+    metrics_path = f"/tmp/fullscale_{n}/metrics.jsonl"
+    if os.path.exists(metrics_path):
+        os.remove(metrics_path)
+
+    # DWY100K schedule shape compressed to ns.epochs: soft predicate
+    # alignment + refreshes from 1/5th in, truncated phase from the first
+    # refresh, eval every 5 epochs from epoch 10 (exercises the eval path
+    # the reference runs from start_valid, MultiKE_CSL.py:72-78).
+    cfg = Config(
+        training_data=folder, dim=ns.dim, batch_size=ns.batch_size,
+        entity_batch_size=min(ns.batch_size, 20000),
+        attribute_batch_size=min(ns.batch_size, 20000),
+        encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
+        learning_rate=0.01, truncated_freq=max(5, ns.epochs // 5),
+        start_predicate_soft_alignment=max(5, ns.epochs // 5),
+        start_valid=10, eval_freq=5, is_save=False,
+        metrics_log_path=metrics_path,
+        word2vec_path=folder + "mini_word2vec.vec")
+
+    t0 = time.time()
+    data = DataModel(cfg)
+    pam = PredicateAlignModel(data.kgs, cfg)
+    prep_s = time.time() - t0
+    log(f"data+predicates prepared in {prep_s:.1f}s, "
+        f"backend={jax.default_backend()}")
+
+    model = MultiKE_ITC(cfg, data, pam, verbose=True)
+    hbm_mb = model.memory_estimate_mb()
+    t0 = time.time()
+    model.run()
+    train_s = time.time() - t0
+    log(f"trained {ns.epochs} epochs in {train_s:.1f}s "
+        f"({train_s / ns.epochs:.2f} s/epoch end-to-end)")
+
+    # per-stream breakdown from the metrics jsonl, compile epochs excluded
+    streams_out = {}
+    for s in STREAMS:
+        recs = [r for r in model.metrics.stream_records(s)
+                if r.get("seconds")]
+        if not recs:
+            continue
+        secs = [r["seconds"] for r in recs]
+        med = sorted(secs)[len(secs) // 2]
+        steady = [r for r in recs if r["seconds"] <= 5 * med] or recs
+        mean_s = sum(r["seconds"] for r in steady) / len(steady)
+        tput = [r["triples_per_s"] for r in steady
+                if r.get("triples_per_s")]
+        streams_out[s] = {
+            "epochs": len(recs),
+            "mean_seconds": round(mean_s, 4),
+            "compile_epochs_excluded": len(recs) - len(steady),
+            "triples_per_s": round(sum(tput) / len(tput), 1) if tput
+            else None,
+        }
+    accounted = sum(v["mean_seconds"] for v in streams_out.values())
+
+    out = {
+        "metric": "full_driver_itc_at_dwy100k_scale",
+        "entities_per_kg": n, "rel_triples_per_kg": 6 * n,
+        "attr_triples_per_kg": 3 * n, "epochs": ns.epochs, "dim": ns.dim,
+        "batch_size": ns.batch_size,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0].device_kind),
+        "prep_seconds": round(prep_s, 1),
+        "train_seconds": round(train_s, 1),
+        "seconds_per_epoch_end_to_end": round(train_s / ns.epochs, 3),
+        "stream_seconds_accounted": round(accounted, 3),
+        "host_and_cadence_seconds_per_epoch": round(
+            train_s / ns.epochs - accounted, 3),
+        "hbm_estimate_mb": round(hbm_mb, 1),
+        "streams": streams_out,
+        "valid_trajectory": [
+            {k: round(r[k], 4) for k in
+             ("epoch", "mrr_rv", "mrr_av", "mrr_final")}
+            for r in model.metrics.stream_records("valid")],
+        "views": {},
+    }
+    for choice in ("rv", "final", "av", "nv"):
+        mrr = float(vw.test(model, embed_choice=choice))
+        out["views"][choice] = round(mrr, 4)
+        log(f"view {choice}: test MRR {mrr:.4f}")
+
+    path = ns.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "FULL_SCALE_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+
+    bad = {v: (out["views"][v], floor) for v, floor in BAND.items()
+           if out["views"][v] < floor}
+    if bad:
+        log(f"QUALITY BAND VIOLATION vs 50K band: {bad}")
+        sys.exit(1)
+    log("50K quality band ok at 100K scale")
+
+
+if __name__ == "__main__":
+    main()
