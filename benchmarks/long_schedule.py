@@ -61,6 +61,10 @@ def main():
     if os.path.exists(metrics_path):
         os.remove(metrics_path)
 
+    cache_dir = os.environ.get(
+        "MULTIKE_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
     # the reference schedule (args.json:19-36), scaled only in data size
     cfg = Config(
         training_data=folder, dim=ns.dim, batch_size=5000,
@@ -69,6 +73,7 @@ def main():
         learning_rate=0.01, start_valid=100, eval_freq=10,
         truncated_freq=20, start_predicate_soft_alignment=20,
         metrics_log_path=metrics_path, is_save=False,
+        compile_cache_dir=cache_dir,
         word2vec_path=folder + "mini_word2vec.vec")
     t0 = time.time()
     data = DataModel(cfg)

@@ -62,6 +62,12 @@ def main():
                     help="relation triples per entity (6 = DWY100K-shaped; "
                          "2 gives a sparse graph whose relation view lands "
                          "in the paper's ~0.6-0.8 band)")
+    ap.add_argument("--attr-triples-mult", type=int, default=3,
+                    help="attribute triples per entity (3 = DWY100K-shaped; "
+                         "6 strengthens the attribute view for "
+                         "comparable-views combination runs)")
+    ap.add_argument("--n-attributes", type=int, default=None,
+                    help="number of attribute predicates (default n/500)")
     ap.add_argument("--folder-tag", default="",
                     help="suffix for the dataset folder (overrides reuse)")
     ap.add_argument("--out", default=None,
@@ -99,11 +105,13 @@ def main():
         knobs["name_noise"] = ns.name_noise
     folder = synthetic.generate(
         f"/tmp/qscale_{n}{ns.folder_tag}/", seed=11, n_entities=n,
-        n_relations=max(8, n // 100), n_attributes=max(6, n // 500),
-        n_rel_triples=ns.rel_triples_mult * n, n_attr_triples=3 * n,
+        n_relations=max(8, n // 100),
+        n_attributes=ns.n_attributes or max(6, n // 500),
+        n_rel_triples=ns.rel_triples_mult * n,
+        n_attr_triples=ns.attr_triples_mult * n,
         **knobs)
     log(f"dataset generated at {folder} ({n} entities/KG, "
-        f"{ns.rel_triples_mult*n} rel + {3*n} attr triples/KG), "
+        f"{ns.rel_triples_mult*n} rel + {ns.attr_triples_mult*n} attr triples/KG), "
         f"backend={jax.default_backend()}")
 
     cfg = Config(
@@ -137,6 +145,10 @@ def main():
         "seconds_per_epoch": round(train_s / ns.epochs, 2),
         "batch_size": ns.batch_size,
         "truncated_freq": cfg.truncated_freq,
+        "generator": {"rel_triples_mult": ns.rel_triples_mult,
+                      "attr_triples_mult": ns.attr_triples_mult,
+                      "n_attributes": ns.n_attributes or max(6, n // 500),
+                      **knobs},
         "views": {},
     }
     views = ("rv", "final", "av", "nv") if ns.mode == "ITC" else \

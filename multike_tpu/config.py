@@ -204,6 +204,12 @@ class Config:
     # sampling scheme, and the recall-vs-quality A/B is recorded in
     # docs/EXPERIMENTS.md; set 1.0 to force exact top_k on TPU too.
     neighbor_recall_target: float = 0.85
+    # Persistent XLA compilation cache directory ("" = off). The 8-stream
+    # driver compiles ~15 executables (phase variants x capacity buckets);
+    # on TPU that dominated the cold FULL_SCALE_r05 run (13.3 of 14.2
+    # s/epoch averaged; steady-state is ~1.0 s/epoch at 100K entities/KG).
+    # Set to reuse compilations across runs of the same shapes.
+    compile_cache_dir: str = ""
     # Checkpointing
     checkpoint_dir: str = ""
     checkpoint_freq: int = 0  # epochs; 0 = only final save

@@ -96,6 +96,11 @@ class MultiKETrainer:
         self.kgs = data.kgs
         self.predicate_align_model = predicate_align_model
         self.verbose = verbose
+        if cfg.compile_cache_dir:
+            from multike_tpu.utils.misc import (
+                enable_persistent_compile_cache)
+
+            enable_persistent_compile_cache(cfg.compile_cache_dir)
 
         kgs = self.kgs
         self.params = init_params(cfg, kgs.entities_num, kgs.relations_num,

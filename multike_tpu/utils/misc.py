@@ -8,6 +8,29 @@ def merge_dic(dic1: Dict, dic2: Dict) -> Dict:
     return {**dic1, **dic2}
 
 
+def enable_persistent_compile_cache(cache_dir: str) -> bool:
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    The full 8-stream driver compiles ~15 executables (per phase variant and
+    capacity bucket); on the TPU each costs seconds to minutes, and the
+    FULL_SCALE_r05 decomposition showed in-run compilation was 13.3 of a
+    14.2 s/epoch average (steady-state epochs are ~1.0 s). With the cache,
+    re-runs of the same shapes start hot. Idempotent; safe to call more than
+    once (last dir wins). Returns False when the runtime lacks cache
+    support — never raises."""
+    import os
+
+    import jax
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
+
+
 def task_divide(idx: Sequence, n: int) -> List[List]:
     """Split a list into n chunks, last chunk takes the remainder
     (utils.py:35-49)."""
