@@ -84,3 +84,43 @@ def test_combination_property_sparse(tmp_path_factory):
     views = {c: float(vw.test(model, embed_choice=c))
              for c in ("nv", "rv", "av", "final")}
     assert views["final"] > max(views["nv"], views["rv"], views["av"]), views
+
+
+def test_combination_property_sparse_ssl(tmp_path_factory):
+    """SSL analog of the combination guard: on the same comparable-views
+    sparse regime, the LATE combinations — plain average and the
+    reference's weighted view averaging (MultiKE_Late.py:64-173) — must
+    beat every single view. Calibrated over seeds 5/6/7: wva margin
+    +1.7/+5.4/+8.4pt, avg +3.5/+4.5/+6.4pt (docs/EXPERIMENTS.md r5). NB on
+    regimes with one strictly dominant view, late averaging legitimately
+    loses to it (COMBINATION_DEMO_SSL.json) — comparable views making
+    independent errors are the property's premise."""
+    from multike_tpu.align.predicates import PredicateAlignModel
+    from multike_tpu.config import Config
+    from multike_tpu.data import synthetic
+    from multike_tpu.data.dataset import DataModel
+    from multike_tpu.eval import views as vw
+    from multike_tpu.train.ssl import MultiKE_SSL
+
+    folder = synthetic.generate(
+        str(tmp_path_factory.mktemp("qcombssl")) + "/", seed=5,
+        n_entities=5000, n_relations=50, n_attributes=25,
+        n_rel_triples=5000, n_attr_triples=30000,
+        name_noise=0.2, rel_noise=0.25)
+    cfg = Config(training_data=folder, dim=75, batch_size=2048,
+                 entity_batch_size=1024, attribute_batch_size=2048,
+                 encoder_epoch=3, neg_triple_num=10, max_epoch=25,
+                 shared_learning_max_epoch=12,
+                 learning_rate=0.01, start_valid=999, eval_freq=999,
+                 truncated_freq=8, start_predicate_soft_alignment=5,
+                 is_save=False, word2vec_path=folder + "mini_word2vec.vec")
+    data = DataModel(cfg)
+    pam = PredicateAlignModel(data.kgs, cfg)
+    model = MultiKE_SSL(cfg, data, pam, verbose=False)
+    model.run()
+    views = {c: float(vw.test(model, embed_choice=c))
+             for c in ("nv", "rv", "av", "avg")}
+    views["wva"] = float(vw.test_WVA(model))
+    best_single = max(views["nv"], views["rv"], views["av"])
+    assert views["wva"] > best_single, views
+    assert views["avg"] > best_single, views
