@@ -62,6 +62,11 @@ def main():
                     help="relation triples per entity (6 = DWY100K-shaped; "
                          "2 gives a sparse graph whose relation view lands "
                          "in the paper's ~0.6-0.8 band)")
+    ap.add_argument("--truncated-chunk-size", type=int, default=None,
+                    help="override Config.truncated_chunk_size (equal-epoch "
+                         "quality A/B for the truncated-phase scatter-row "
+                         "lever, docs/EXPERIMENTS.md r5)")
+    ap.add_argument("--truncated-pool-size", type=int, default=None)
     ap.add_argument("--attr-triples-mult", type=int, default=3,
                     help="attribute triples per entity (3 = DWY100K-shaped; "
                          "6 strengthens the attribute view for "
@@ -114,9 +119,14 @@ def main():
         f"{ns.rel_triples_mult*n} rel + {ns.attr_triples_mult*n} attr triples/KG), "
         f"backend={jax.default_backend()}")
 
+    cfg_extra = {}
+    if ns.truncated_chunk_size is not None:
+        cfg_extra["truncated_chunk_size"] = ns.truncated_chunk_size
+    if ns.truncated_pool_size is not None:
+        cfg_extra["truncated_pool_size"] = ns.truncated_pool_size
     cfg = Config(
         training_data=folder, dim=ns.dim, batch_size=ns.batch_size,
-        entity_batch_size=5000, attribute_batch_size=5000,
+        entity_batch_size=5000, attribute_batch_size=5000, **cfg_extra,
         encoder_epoch=5, neg_triple_num=10, max_epoch=ns.epochs,
         shared_learning_max_epoch=max(10, ns.epochs // 2),
         learning_rate=0.01, truncated_freq=max(5, ns.epochs // 5),

@@ -120,8 +120,12 @@ class Config:
     truncated_neg_scheme: str = "chunk_shared"
     # Chunk size of the truncated chunk_shared scheme. Smaller chunks mix
     # fewer entities' neighbor rows per pool (harder negatives, more scatter
-    # rows); see the quality/throughput A/B in docs/EXPERIMENTS.md.
-    truncated_chunk_size: int = 256
+    # rows). r5 A/B (20K entities, 25-epoch full ITC, TPU): 1024 is
+    # quality-neutral vs 256 (rv 0.9808 vs 0.9836, final 0.9050 vs 0.9055,
+    # av 0.6337 vs 0.6343) and cuts scatter rows 4x — truncated throughput
+    # 8.75M vs 6.10M triples/s at batch 80000/100K entities
+    # (docs/EXPERIMENTS.md r5).
+    truncated_chunk_size: int = 1024
     # Pool size C of the truncated chunk_shared scheme; 0 = neg_pool_size.
     # Scatter rows per step scale with chunks*C, so this is a direct
     # throughput lever. A/B at s=256 (20-epoch ITC): C=128 rv/final MRR
