@@ -62,6 +62,10 @@ def main():
                     help="relation triples per entity (6 = DWY100K-shaped; "
                          "2 gives a sparse graph whose relation view lands "
                          "in the paper's ~0.6-0.8 band)")
+    ap.add_argument("--neg-chunk-size", type=int, default=None,
+                    help="override Config.neg_chunk_size (uniform-phase "
+                         "chunk lever A/B)")
+    ap.add_argument("--neg-pool-size", type=int, default=None)
     ap.add_argument("--truncated-chunk-size", type=int, default=None,
                     help="override Config.truncated_chunk_size (equal-epoch "
                          "quality A/B for the truncated-phase scatter-row "
@@ -120,6 +124,10 @@ def main():
         f"backend={jax.default_backend()}")
 
     cfg_extra = {}
+    if ns.neg_chunk_size is not None:
+        cfg_extra["neg_chunk_size"] = ns.neg_chunk_size
+    if ns.neg_pool_size is not None:
+        cfg_extra["neg_pool_size"] = ns.neg_pool_size
     if ns.truncated_chunk_size is not None:
         cfg_extra["truncated_chunk_size"] = ns.truncated_chunk_size
     if ns.truncated_pool_size is not None:

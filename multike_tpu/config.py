@@ -96,7 +96,12 @@ class Config:
     #     (base/batch.py:86-116). Always used when truncated-neighbor
     #     sampling is active (neighbor candidates are entity-specific).
     neg_scheme: str = "chunk_shared"
-    neg_chunk_size: int = 1024
+    # Uniform-phase chunk size. r5 sweep at batch 80000 / 100K entities:
+    # pool rows scale as chunks*2C, and 4096 (with C=128 below) measures
+    # 10.07M triples/s vs 8.13M at 1024/C=256; equal-epoch 20K/25-epoch
+    # full-ITC A/B is neutral (rv 0.9831 / final 0.9043 / av 0.6328 vs
+    # 0.9836/0.9055/0.6343 at the r4 defaults - UNIFORM_CHUNK_AB.json).
+    neg_chunk_size: int = 4096
     # Negative scheme of the neighbor-TRUNCATED phase (epochs past the first
     # refresh — where the reference spends most of its schedule,
     # args.json:26-28):
@@ -142,7 +147,9 @@ class Config:
     # C=256 matches per_slot (0.941 vs 0.944 rv MRR, 20-epoch ITC) at the
     # same wall time — the extra pool columns ride the MXU matmul
     # (benchmarks/neg_scheme_quality.py; DGL-KE/PBG use the same recipe).
-    neg_pool_size: int = 256
+    # r5: C=128 at chunk 4096 re-A/B'd neutral at 20K/25 epochs
+    # (UNIFORM_CHUNK_AB.json) and cuts scatter rows 2x - the default pair.
+    neg_pool_size: int = 128
 
     # --- host parallelism knobs of the reference (args.json:30-31); kept for
     # config compatibility. On TPU, batching/eval are on-device, so these only
