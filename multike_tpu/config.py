@@ -125,12 +125,14 @@ class Config:
     truncated_neg_scheme: str = "chunk_shared"
     # Chunk size of the truncated chunk_shared scheme. Smaller chunks mix
     # fewer entities' neighbor rows per pool (harder negatives, more scatter
-    # rows). r5 A/B (20K entities, 25-epoch full ITC, TPU): 1024 is
-    # quality-neutral vs 256 (rv 0.9808 vs 0.9836, final 0.9050 vs 0.9055,
-    # av 0.6337 vs 0.6343) and cuts scatter rows 4x — truncated throughput
-    # 8.75M vs 6.10M triples/s at batch 80000/100K entities
-    # (docs/EXPERIMENTS.md r5).
-    truncated_chunk_size: int = 1024
+    # rows). r5 A/Bs (20K entities, 25-epoch full ITC, TPU): 1024 and 4096
+    # are both quality-neutral vs 256 (4096: rv 0.9806 / final 0.9039 /
+    # av 0.6321 vs 256's 0.9836/0.9055/0.6343 - TRUNC_CHUNK_AB.json), and
+    # scatter rows drop 16x: truncated throughput 6.10M (256) -> 8.75M
+    # (1024) -> 9.89M (4096) triples/s at batch 80000 / 100K entities
+    # (docs/EXPERIMENTS.md r5). NB the 20K A/B regime shares pools across
+    # ENTIRE steps (chunk >= batch there) - harsher than DWY100K scale.
+    truncated_chunk_size: int = 4096
     # Pool size C of the truncated chunk_shared scheme; 0 = neg_pool_size.
     # Scatter rows per step scale with chunks*C, so this is a direct
     # throughput lever. A/B at s=256 (20-epoch ITC): C=128 rv/final MRR
